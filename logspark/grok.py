@@ -1,0 +1,320 @@
+"""Pure-Python grok pattern compiler (no Spark dependency).
+
+Implements the grok semantics of go-logagent's grok filter
+(reference: filter/grok/grokfilter.go — dir empty at build time; semantics
+pinned by BASELINE.json north_star: "compile grok pattern libraries to
+anchored regexes and apply them columnar-batch-wise over the text field").
+
+Grok syntax (logstash-compatible, public knowledge):
+
+    %{SYNTAX}                capture-less reference to a library pattern
+    %{SYNTAX:name}           capture the match into field `name`
+    %{SYNTAX:name:int}       capture + coerce to int   (null on bad parse)
+    %{SYNTAX:name:float}     capture + coerce to float (null on bad parse)
+
+Semantics implemented (FIXTURES.md §A3 "grok" rows):
+- recursive pattern-library expansion with cycle detection
+- ANCHORED matching: compiled regex is prefixed with `^`; a mid-string hit
+  does not match (add `$` too with anchor="both")
+- multiple match patterns → first-match-wins
+- no match → caller adds the `_grokparsefailure` tag; captures stay unset
+- typed captures coerce via pandas `to_numeric(errors="coerce")` — a capture
+  that fails coercion becomes null ("leave field unset")
+
+The compiler output is designed for columnar application:
+`CompiledGrok.extract_pandas(pd.Series) -> pd.DataFrame` runs
+`Series.str.extract` (C-speed) per pattern over the still-unmatched subset,
+so the Spark layer can wrap it in a single Arrow-batched pandas UDF.
+Regexes compile once per Python worker via the module-level cache.
+"""
+
+from __future__ import annotations
+
+import re
+import warnings
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# Built-in pattern library (logstash-standard core set, public knowledge)
+# ---------------------------------------------------------------------------
+
+BUILTIN_PATTERNS: dict[str, str] = {
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "INT": r"(?:[+-]?(?:[0-9]+))",
+    "BASE10NUM": r"(?:[+-]?(?:[0-9]+(?:\.[0-9]+)?)|\.[0-9]+)",
+    "NUMBER": r"(?:%{BASE10NUM})",
+    "POSINT": r"\b(?:[1-9][0-9]*)\b",
+    "NONNEGINT": r"\b(?:[0-9]+)\b",
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r'(?:"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\')',
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "IPV4": (
+        r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+    ),
+    "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}",
+    "IP": r"(?:%{IPV6}|%{IPV4})",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    # dates / times
+    "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME": r"(?:%{HOUR}:%{MINUTE}(?::%{SECOND})?)",
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "ISO8601_SECOND": r"(?:%{SECOND}|60)",
+    "TIMESTAMP_ISO8601": (
+        r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}"
+        r"(?::?%{SECOND})?%{ISO8601_TIMEZONE}?"
+    ),
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "LOGLEVEL": (
+        r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|"
+        r"[Ii]nfo(?:rmation)?|INFO(?:RMATION)?|[Ww]arn(?:ing)?|WARN(?:ING)?|"
+        r"[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|"
+        r"[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)"
+    ),
+    # uri
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    # composite apache
+    "COMMONAPACHELOG": (
+        r'%{IPORHOST:clientip} %{NOTSPACE:ident} %{NOTSPACE:auth} '
+        r'\[%{HTTPDATE:timestamp}\] "(?:%{WORD:verb} %{NOTSPACE:request}'
+        r'(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" '
+        r'%{NONNEGINT:response:int} (?:%{NONNEGINT:bytes:int}|-)'
+    ),
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@-]+))?(?::(int|float|long|double|string|str))?\}")
+
+_INT_TYPES = {"int", "long"}
+_FLOAT_TYPES = {"float", "double"}
+
+
+class GrokError(ValueError):
+    """Bad grok pattern: unknown %{NAME}, cycle, or regex syntax error."""
+
+
+@dataclass(frozen=True)
+class GrokField:
+    """One named capture of a compiled pattern."""
+
+    name: str  # semantic name as written in the pattern
+    type: str  # "string" | "int" | "float"
+    group: str  # sanitized python regex group name
+
+
+@dataclass
+class GrokPattern:
+    """A single compiled grok pattern: regex + ordered typed captures."""
+
+    source: str
+    regex: re.Pattern
+    fields: list[GrokField] = field(default_factory=list)
+
+    def match(self, text: str) -> dict | None:
+        """Match one string → {field: coerced value} or None. (Test/debug
+        path; the hot path is CompiledGrok.extract_pandas.)"""
+        if text is None:
+            return None
+        m = self.regex.search(text)
+        if m is None:
+            return None
+        out: dict = {}
+        for f in self.fields:
+            raw = m.group(f.group)
+            out[f.name] = _coerce_scalar(raw, f.type)
+        return out
+
+
+def _coerce_scalar(raw: str | None, typ: str):
+    if raw is None:
+        return None
+    if typ == "int":
+        try:
+            return int(raw)
+        except ValueError:
+            return None
+    if typ == "float":
+        try:
+            return float(raw)
+        except ValueError:
+            return None
+    return raw
+
+
+class GrokCompiler:
+    """Expands %{NAME[:field[:type]]} references against a pattern library
+    into a single anchored Python regex with named groups.
+
+    Regex compilation happens once per (library, pattern) — the Spark layer
+    holds compilers at module scope so each Python worker compiles once
+    (SURVEY.md §4 "regex compile amortization").
+    """
+
+    def __init__(self, extra_patterns: dict[str, str] | None = None):
+        self.library: dict[str, str] = dict(BUILTIN_PATTERNS)
+        if extra_patterns:
+            self.library.update(extra_patterns)
+
+    def compile(self, pattern: str, anchor: str = "start") -> GrokPattern:
+        """anchor: "start" (default, `^…`), "both" (`^…$`), "none"."""
+        fields: list[GrokField] = []
+        counter = [0]
+        expanded = self._expand(pattern, fields, counter, stack=())
+        if anchor == "start":
+            expanded = "^(?:" + expanded + ")"
+        elif anchor == "both":
+            expanded = "^(?:" + expanded + ")$"
+        elif anchor != "none":
+            raise GrokError(f"unknown anchor mode {anchor!r}")
+        try:
+            rx = re.compile(expanded)
+        except re.error as e:  # pragma: no cover - library patterns are valid
+            raise GrokError(f"bad regex after expansion of {pattern!r}: {e}") from e
+        return GrokPattern(source=pattern, regex=rx, fields=fields)
+
+    def _expand(
+        self,
+        pattern: str,
+        fields: list[GrokField],
+        counter: list[int],
+        stack: tuple[str, ...],
+    ) -> str:
+        def repl(m: re.Match) -> str:
+            syntax, semantic, typ = m.group(1), m.group(2), m.group(3)
+            if syntax not in self.library:
+                raise GrokError(f"unknown grok pattern %{{{syntax}}}")
+            if syntax in stack:
+                raise GrokError(f"grok pattern cycle: {' -> '.join(stack)} -> {syntax}")
+            inner = self._expand(
+                self.library[syntax], fields, counter, stack + (syntax,)
+            )
+            if semantic:
+                if typ in _INT_TYPES:
+                    ftyp = "int"
+                elif typ in _FLOAT_TYPES:
+                    ftyp = "float"
+                else:
+                    ftyp = "string"
+                group = f"g{counter[0]}"
+                counter[0] += 1
+                fields.append(GrokField(name=semantic, type=ftyp, group=group))
+                return f"(?P<{group}>{inner})"
+            return f"(?:{inner})"
+
+        return _GROK_REF.sub(repl, pattern)
+
+
+@dataclass
+class CompiledGrok:
+    """One or more patterns, applied first-match-wins, vectorized."""
+
+    patterns: list[GrokPattern]
+
+    @property
+    def field_names(self) -> list[str]:
+        """Union of capture names across patterns, first-appearance order."""
+        seen: dict[str, str] = {}
+        for p in self.patterns:
+            for f in p.fields:
+                if f.name not in seen:
+                    seen[f.name] = f.type
+        return list(seen)
+
+    @property
+    def field_types(self) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for p in self.patterns:
+            for f in p.fields:
+                out.setdefault(f.name, f.type)
+        return out
+
+    def extract_pandas(self, s: pd.Series) -> pd.DataFrame:
+        """Columnar first-match-wins extraction.
+
+        Returns a DataFrame with one column per capture name (string dtype,
+        typed fields coerced to nullable Int64/float64) plus boolean
+        `_grok_matched`. Unmatched rows (and rows matched by a pattern that
+        lacks a given field) hold nulls.
+        """
+        s = s.astype("object").where(s.notna(), None).astype("string")
+        names = self.field_names
+        types = self.field_types
+        out = pd.DataFrame(index=s.index)
+        for n in names:
+            out[n] = pd.Series(pd.NA, index=s.index, dtype="string")
+        matched = pd.Series(False, index=s.index)
+
+        remaining = s.notna()
+        for pat in self.patterns:
+            if not remaining.any():
+                break
+            sub = s[remaining]
+            # `search` semantics + the embedded ^ anchor == anchored match.
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", UserWarning)  # "has match groups"
+                hit = sub.str.contains(pat.regex, regex=True, na=False)
+            hit_idx = hit[hit].index
+            if len(hit_idx) == 0:
+                continue
+            matched.loc[hit_idx] = True
+            if pat.fields:
+                ext = s.loc[hit_idx].str.extract(pat.regex)
+                for f in pat.fields:
+                    out.loc[hit_idx, f.name] = ext[f.group].astype("string")
+            remaining = remaining & ~matched
+
+        for n in names:
+            t = types[n]
+            if t == "int":
+                out[n] = pd.to_numeric(out[n], errors="coerce").astype("Int64")
+            elif t == "float":
+                out[n] = pd.to_numeric(out[n], errors="coerce").astype("float64")
+        out["_grok_matched"] = matched
+        return out
+
+
+@lru_cache(maxsize=256)
+def _cached_compile(
+    match_patterns: tuple[str, ...],
+    extra_items: tuple[tuple[str, str], ...],
+    anchor: str,
+) -> CompiledGrok:
+    compiler = GrokCompiler(dict(extra_items) if extra_items else None)
+    return CompiledGrok([compiler.compile(p, anchor=anchor) for p in match_patterns])
+
+
+def compile_grok(
+    match: list[str] | str,
+    extra_patterns: dict[str, str] | None = None,
+    anchor: str = "start",
+) -> CompiledGrok:
+    """Compile (and memoize per-process) a grok filter's match pattern list.
+
+    The memoization is the per-executor compile-once cache: inside a pandas
+    UDF this is called per Arrow batch but compiles only on the first call
+    in each Python worker process.
+    """
+    if isinstance(match, str):
+        match = [match]
+    extra_items = tuple(sorted((extra_patterns or {}).items()))
+    return _cached_compile(tuple(match), extra_items, anchor)

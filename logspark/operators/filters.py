@@ -1,0 +1,230 @@
+"""The filter chain: grok / patch / mutate / json / drop, plus the registry.
+
+Reference model (SURVEY.md §2.2, §2.9): go-logagent registers filter plugins
+by name (`RegistFilterHandler` in utils/config.go — reference dir empty at
+build time, semantics pinned by BASELINE.json) and applies them to each event
+in config order, mutating the event. Here a "filter" is a **DataFrame
+transform** `(df, cfg) -> df`; the chain is a left fold over the config list.
+Heavy text work (grok) is a single Arrow-batched pandas UDF; everything else
+is native Column expressions (BASELINE.json input_hint: "no per-row Python").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from logspark.functions.predicates import compile_predicate
+from logspark.functions.templates import compile_template
+from logspark.grok import compile_grok
+
+GROK_FAILURE_TAG = "_grokparsefailure"
+JSON_FAILURE_TAG = "_jsonparsefailure"
+
+FilterFn = Callable[[DataFrame, dict], DataFrame]
+FILTER_REGISTRY: dict[str, FilterFn] = {}
+
+
+def register_filter(name: str) -> Callable[[FilterFn], FilterFn]:
+    """Decorator-based plugin registry — the Spark-native equivalent of
+    go-logagent's RegistFilterHandler(name, initFunc)."""
+
+    def deco(fn: FilterFn) -> FilterFn:
+        FILTER_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def ensure_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
+    """Events enter the pipeline with an empty tag set (LogEvent.Tags)."""
+    if tags_col not in df.columns:
+        df = df.withColumn(tags_col, F.array().cast("array<string>"))
+    return df
+
+
+def add_tags(tags_expr, new_tags: list[str]):
+    out = tags_expr
+    for t in new_tags:
+        out = F.array_union(out, F.array(F.lit(t)))
+    return out
+
+
+def apply_filter_chain(df: DataFrame, filter_cfgs: list[dict]) -> DataFrame:
+    """Fold the config's filter list over the DataFrame, in order —
+    the declarative equivalent of the reference's sequential filter worker."""
+    df = ensure_tags(df)
+    for cfg in filter_cfgs:
+        ftype = cfg.get("type")
+        if ftype not in FILTER_REGISTRY:
+            raise ValueError(
+                f"unknown filter type {ftype!r}; known: {sorted(FILTER_REGISTRY)}"
+            )
+        df = FILTER_REGISTRY[ftype](df, cfg)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# grok — vectorized pandas-UDF regex extraction (SURVEY.md §2.2 row F1)
+# ---------------------------------------------------------------------------
+
+_SPARK_TYPES = {"string": StringType(), "int": LongType(), "float": DoubleType()}
+
+
+def grok_output_schema(match: list[str] | str, patterns: dict | None, anchor: str) -> StructType:
+    cg = compile_grok(match, patterns, anchor)
+    fields = [StructField(n, _SPARK_TYPES[t], True) for n, t in cg.field_types.items()]
+    fields.append(StructField("_grok_matched", BooleanType(), False))
+    return StructType(fields)
+
+
+@register_filter("grok")
+def grok_filter(df: DataFrame, cfg: dict) -> DataFrame:
+    """Compile `match` pattern(s) to anchored regexes; extract named captures
+    columnar-batch-wise from `source`; promote captures to top-level columns;
+    tag non-matching rows with `_grokparsefailure` (first-match-wins across
+    patterns). Regexes compile once per Python worker via logspark.grok's
+    process-level cache."""
+    source = cfg.get("source", "text")
+    match = cfg["match"] if isinstance(cfg["match"], list) else [cfg["match"]]
+    patterns = cfg.get("patterns")
+    anchor = cfg.get("anchor", "start")
+    failure_tag = cfg.get("failure_tag", GROK_FAILURE_TAG)
+    schema = grok_output_schema(match, patterns, anchor)
+    capture_names = [f.name for f in schema.fields[:-1]]
+
+    # Only plain config values (and picklable accumulators) cross the closure
+    # boundary — each Python worker re-resolves the compiled grok from its
+    # own process cache.
+    patterns_items = tuple(sorted((patterns or {}).items())) or None
+
+    accs = None
+    if cfg.get("accumulators", True):
+        from logspark.plans.metrics import parse_accumulators
+
+        accs = parse_accumulators(df.sparkSession.sparkContext, cfg.get("id", "grok"))
+
+    def _extract(s: pd.Series) -> pd.DataFrame:
+        cg = compile_grok(list(match), dict(patterns_items) if patterns_items else None, anchor)
+        out = cg.extract_pandas(s)
+        if accs is not None:
+            accs.rows.add(len(s))
+            accs.matched.add(int(out["_grok_matched"].sum()))
+        return out
+
+    udf = F.pandas_udf(_extract, returnType=schema)
+
+    # Optional cheap native prefilter (Sparser-style "filter before you
+    # parse", PAPERS.md): rows failing the rlike skip the regex UDF entirely.
+    prefilter = cfg.get("prefilter_rlike")
+    gcol = udf(F.col(source))
+    if prefilter:
+        null_struct = F.lit(None).cast(schema)
+        gcol = F.when(F.col(source).rlike(prefilter), gcol).otherwise(null_struct)
+
+    df = df.withColumn("_g", gcol)
+    for name in capture_names:
+        df = df.withColumn(name, F.col("_g").getField(name))
+    matched = F.coalesce(F.col("_g").getField("_grok_matched"), F.lit(False))
+    new_tags = F.when(matched, add_tags(F.col("tags"), cfg.get("add_tag", []))).otherwise(
+        add_tags(F.col("tags"), [failure_tag])
+    )
+    return df.withColumn("tags", new_tags).drop("_g")
+
+
+# ---------------------------------------------------------------------------
+# patch — field templates + regex substitution (SURVEY.md §2.2 row F2)
+# ---------------------------------------------------------------------------
+
+
+@register_filter("patch")
+def patch_filter(df: DataFrame, cfg: dict) -> DataFrame:
+    """Set fields from `%{field}` / `%{+fmt}` templates and/or regex-patch
+    text columns. Pure native expressions (concat / date_format /
+    regexp_replace) — zero Python at run time."""
+    for dest, template in (cfg.get("fields") or {}).items():
+        df = df.withColumn(dest, compile_template(template, df, ts_col=cfg.get("ts_col", "ts")))
+    replaces = cfg.get("replace") or []
+    if isinstance(replaces, dict):
+        replaces = [replaces]
+    for r in replaces:
+        col = r.get("field", "text")
+        df = df.withColumn(col, F.regexp_replace(F.col(col), r["pattern"], r["replacement"]))
+    if cfg.get("add_tag"):
+        df = df.withColumn("tags", add_tags(F.col("tags"), cfg["add_tag"]))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# mutate — tag/field bookkeeping (SURVEY.md §2.2 rows F3/F4)
+# ---------------------------------------------------------------------------
+
+
+@register_filter("mutate")
+def mutate_filter(df: DataFrame, cfg: dict) -> DataFrame:
+    for dest, template in (cfg.get("add_field") or {}).items():
+        df = df.withColumn(dest, compile_template(template, df))
+    for col in cfg.get("remove_field", []):
+        if col in df.columns:
+            df = df.drop(col)
+    for old, new in (cfg.get("rename") or {}).items():
+        df = df.withColumnRenamed(old, new)
+    if cfg.get("add_tag"):
+        df = df.withColumn("tags", add_tags(F.col("tags"), cfg["add_tag"]))
+    for t in cfg.get("remove_tag", []):
+        df = df.withColumn("tags", F.array_remove(F.col("tags"), t))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# json — codec for embedded JSON payloads (SURVEY.md §2.1 row S5)
+# ---------------------------------------------------------------------------
+
+
+@register_filter("json")
+def json_filter(df: DataFrame, cfg: dict) -> DataFrame:
+    """Parse `source` as JSON. With a `schema` (DDL string) the fields are
+    promoted to top-level columns; without one the payload lands in a
+    map<string,string> column (`target`, default `json_map`) — the dynamic
+    `Extra`-fields overflow of the reference's event model."""
+    source = cfg.get("source", "text")
+    failure_tag = cfg.get("failure_tag", JSON_FAILURE_TAG)
+    if cfg.get("schema"):
+        df = df.withColumn("_j", F.from_json(F.col(source), cfg["schema"]))
+        parsed_fields = df.schema["_j"].dataType.fieldNames()
+        for name in parsed_fields:
+            df = df.withColumn(name, F.col("_j").getField(name))
+        ok = F.col("_j").isNotNull()
+        df = df.drop("_j")
+    else:
+        target = cfg.get("target", "json_map")
+        df = df.withColumn(target, F.from_json(F.col(source), "map<string,string>"))
+        ok = F.col(target).isNotNull()
+    if cfg.get("tag_on_failure", True):
+        df = df.withColumn(
+            "tags",
+            F.when(ok, F.col("tags")).otherwise(add_tags(F.col("tags"), [failure_tag])),
+        )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# drop — discard events matching a predicate
+# ---------------------------------------------------------------------------
+
+
+@register_filter("drop")
+def drop_filter(df: DataFrame, cfg: dict) -> DataFrame:
+    pred = compile_predicate(cfg.get("when"))
+    return df.filter(~pred)

@@ -1,0 +1,159 @@
+"""Config → DataFrame-DAG compiler + executed runs (SURVEY.md §3.2).
+
+    PipelineConfig
+      → build(): scan → filter chain → enrich joins → router
+                 (ALL narrow — one stage, no shuffle before the sinks)
+      → run():   one partitioned sink write + one per-sink-counts aggregate,
+                 observation + accumulator metrics, resume manifest commit.
+
+Scale notes (the 100 TB story):
+- Everything before the write/agg is a single narrow stage: parquet/Iceberg
+  scan → Arrow-batched grok UDF → native patch/json/template exprs →
+  broadcast enrich joins → sinks-array + explode. No wide dependency, so
+  throughput scales with executor count (the ≥0.8 N→4N criterion).
+- The routed write uses write.partitionBy("sink") — dynamic partition write,
+  no shuffle inserted. The counts aggregate is the only shuffle and moves
+  pre-aggregated (sink, conv_id, bucket) partials.
+- Incremental runs read only manifest-pending input files (Iceberg:
+  start-snapshot-id); sink writes land under runs/<run_id>/ so a crashed run
+  re-executes idempotently (overwrite same path) before the manifest commit.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from logspark.config import PipelineConfig
+from logspark.operators.aggregates import sink_counts
+from logspark.operators.enrich import apply_enrich_chain
+from logspark.operators.filters import GROK_FAILURE_TAG, apply_filter_chain, ensure_tags
+from logspark.operators.router import route
+from logspark.sources import manifest as mf
+from logspark.sources.tableio import ParquetIO
+
+
+@dataclass
+class BuiltPipeline:
+    parsed: DataFrame  # after filter chain + enrich (pre-router, all events)
+    routed: DataFrame  # one row per (event, sink)
+    counts: DataFrame  # (sink, conv_id, bucket, n)
+    observation: Observation | None = None
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    sink_rows: dict[str, int] = dc_field(default_factory=dict)
+    metrics: dict[str, float] = dc_field(default_factory=dict)
+    input_files: list[str] = dc_field(default_factory=list)
+
+
+def load_inputs(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    io: ParquetIO | None,
+    df: DataFrame | None,
+    input_files: list[str] | None = None,
+) -> DataFrame:
+    frames: list[DataFrame] = []
+    for inp in cfg.input:
+        t = inp["type"]
+        if t == "memory":
+            if df is None:
+                raise ValueError("memory input requires a DataFrame argument")
+            frames.append(df)
+        elif t == "table":
+            if io is None:
+                raise ValueError("table input requires a TableIO")
+            if input_files is not None:
+                frames.append(io.read_files(spark, inp["table"], input_files))
+            else:
+                frames.append(io.read(spark, inp["table"]))
+        else:
+            raise ValueError(f"unknown input type {t!r}")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def build(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    df: DataFrame | None = None,
+    io: ParquetIO | None = None,
+    dims: dict[str, DataFrame] | None = None,
+    observe: bool = True,
+    input_files: list[str] | None = None,
+) -> BuiltPipeline:
+    src = load_inputs(spark, cfg, io, df, input_files)
+    src = ensure_tags(src)
+
+    parsed = apply_filter_chain(src, cfg.filter)
+    if cfg.enrich:
+        parsed = apply_enrich_chain(parsed, cfg.enrich, dims or {})
+
+    obs = None
+    if observe:
+        obs = Observation("parse")
+        parsed = parsed.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(
+                F.array_contains(F.col("tags"), GROK_FAILURE_TAG).cast("long")
+            ).alias("parse_failures"),
+        )
+
+    routed = route(parsed, cfg.output)
+    counts = sink_counts(routed, bucket=cfg.aggregate.get("bucket", "hour"))
+    return BuiltPipeline(parsed=parsed, routed=routed, counts=counts, observation=obs)
+
+
+def run(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    io: ParquetIO,
+    sink_root: str,
+    run_id: str = "r0",
+    dims: dict[str, DataFrame] | None = None,
+    incremental: bool = True,
+) -> RunResult:
+    """Execute: resume-aware read → routed write (partitioned by sink) →
+    counts write → manifest commit with lineage + metrics."""
+    table = next(i["table"] for i in cfg.input if i["type"] == "table")
+    all_files = io.input_files(spark, table)
+    m = mf.load_manifest(sink_root)
+    files = mf.pending_files(all_files, m) if incremental else all_files
+    result = RunResult(run_id=run_id, input_files=files)
+    if not files:
+        return result  # nothing new — resume with no work
+
+    bp = build(spark, cfg, io=io, dims=dims, input_files=files)
+
+    routed_path = os.path.join(sink_root, "runs", run_id, "routed")
+    bp.routed.write.mode("overwrite").partitionBy("sink").parquet(routed_path)
+    counts_path = os.path.join(sink_root, "runs", run_id, "sink_counts")
+    bp.counts.write.mode("overwrite").parquet(counts_path)
+
+    per_sink = {
+        r["sink"]: r["n"]
+        for r in spark.read.parquet(counts_path).groupBy("sink").agg(F.sum("n").alias("n")).collect()
+    }
+    result.sink_rows = {k: int(v) for k, v in per_sink.items()}
+    if bp.observation is not None:
+        result.metrics.update({k: float(v) for k, v in bp.observation.get.items()})
+
+    mf.commit_run(
+        sink_root,
+        mf.RunRecord(
+            run_id=run_id,
+            input_files=files,
+            sink_counts=result.sink_rows,
+            metrics=result.metrics,
+        ),
+    )
+    return result

@@ -1,0 +1,130 @@
+"""End-to-end pipeline golden tests (SURVEY.md §5.2 layer 2, FIXTURES.md §A3/§A4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from logspark.config import PipelineConfig, canonical_config
+from logspark.plans import pipeline
+
+
+@pytest.fixture(scope="module")
+def mem_config():
+    cfg = canonical_config()
+    cfg.input = [{"type": "memory"}]
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def run(spark, transcripts, dims, mem_config):
+    bp = pipeline.build(spark, mem_config, df=transcripts, dims=dims)
+    routed = bp.routed.cache()
+    routed.count()
+    return bp, routed
+
+
+def test_every_event_routed_or_dropped_consistently(spark, transcripts, run):
+    bp, routed = run
+    n_in = transcripts.count()
+    parsed_rows = bp.parsed.count()
+    assert parsed_rows == n_in  # filter chain is 1:1 — no event lost before routing
+
+    # routed rows = sum over sinks of per-sink matches (duplicates allowed)
+    per_sink = {r["sink"]: r["n"] for r in routed.groupBy("sink").agg(F.count("*").alias("n")).collect()}
+    assert set(per_sink) == {"parsed", "errors", "raw"}
+    # grok failure rows == raw sink rows; parsed-tag rows == parsed sink rows
+    failures = bp.parsed.filter(F.array_contains("tags", "_grokparsefailure")).count()
+    assert per_sink["raw"] == failures
+    ok = bp.parsed.filter(F.array_contains("tags", "parsed")).count()
+    assert per_sink["parsed"] == ok
+    assert failures + ok == n_in
+    # errors ⊂ parsed
+    assert per_sink["errors"] <= per_sink["parsed"]
+
+
+def test_overlapping_sinks_duplicate_rows(run):
+    bp, routed = run
+    # every `errors` row is also a `parsed` row (predicate is a refinement)
+    err = routed.filter(F.col("sink") == "errors").select("conv_id", "turn_idx")
+    par = routed.filter(F.col("sink") == "parsed").select("conv_id", "turn_idx")
+    assert err.exceptAll(par).count() == 0
+    assert err.count() > 0
+
+
+def test_text_passthrough_equality(spark, transcripts, run):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering —
+    the binding per-row invariant (BASELINE.json input_hint)."""
+    bp, routed = run
+    orig = transcripts.select("conv_id", "turn_idx", F.col("text").alias("text_in"))
+    joined = (
+        routed.filter(F.col("sink") == "parsed")
+        .select("conv_id", "turn_idx", "text")
+        .join(orig, ["conv_id", "turn_idx"])
+    )
+    assert joined.filter(F.col("text") != F.col("text_in")).count() == 0
+
+
+def test_grok_captures_promoted_and_typed(run):
+    bp, routed = run
+    parsed = routed.filter(F.col("sink") == "parsed")
+    dt = dict(parsed.dtypes)
+    assert dt["latency_ms"] == "bigint"
+    assert dt["response"] == "bigint"
+    assert dt["level"] == "string"
+    # tool-log rows carry latency; apache rows carry response — disjoint
+    both = parsed.filter(F.col("latency_ms").isNotNull() & F.col("response").isNotNull())
+    assert both.count() == 0
+    assert parsed.filter(F.col("latency_ms").isNotNull()).count() > 0
+    assert parsed.filter(F.col("response").isNotNull()).count() > 0
+
+
+def test_enrich_broadcast_left_join(run):
+    bp, routed = run
+    # known tools get a category; tool_x stays null (left join)
+    tool_rows = bp.parsed.filter(F.col("tool").isNotNull())
+    unknown = tool_rows.filter(F.col("tool") == "tool_x")
+    assert unknown.count() > 0
+    assert unknown.filter(F.col("tool_category").isNotNull()).count() == 0
+    known = tool_rows.filter(F.col("tool") == "search")
+    assert known.filter(F.col("tool_category") != "retrieval").count() == 0
+    # role_map is total: every row enriched
+    assert bp.parsed.filter(F.col("role_kind").isNull()).count() == 0
+
+
+def test_patch_templates(run):
+    bp, _ = run
+    row = bp.parsed.filter(F.col("tool").isNotNull()).select("day", "route_key", "ts", "role", "tool").first()
+    assert row["day"] == row["ts"].strftime("%Y-%m-%d")
+    assert row["route_key"] == f"{row['role']}/{row['tool']}"
+
+
+def test_json_codec_rows(run):
+    bp, _ = run
+    js = bp.parsed.filter(F.col("text").startswith("{"))
+    assert js.count() > 0
+    assert js.filter(F.col("event").isNull()).count() == 0
+    assert dict(bp.parsed.dtypes)["k"] == "bigint"
+
+
+def test_sink_counts_match_routed(run):
+    bp, routed = run
+    total_from_counts = {r["sink"]: r["total"] for r in bp.counts.groupBy("sink").agg(F.sum("n").alias("total")).collect()}
+    total_from_routed = {r["sink"]: r["n"] for r in routed.groupBy("sink").agg(F.count("*").alias("n")).collect()}
+    assert total_from_counts == total_from_routed
+
+
+def test_observation_metrics(spark, transcripts, dims, mem_config):
+    bp = pipeline.build(spark, mem_config, df=transcripts, dims=dims, observe=True)
+    bp.routed.write.format("noop").mode("overwrite").save()
+    got = bp.observation.get
+    assert got["rows_in"] == transcripts.count()
+    assert 0 < got["parse_failures"] < got["rows_in"]
+
+
+def test_unknown_filter_type_raises(spark, transcripts):
+    cfg = PipelineConfig.from_dict(
+        {"input": [{"type": "memory"}], "filter": [{"type": "nope"}], "output": [{"name": "x"}]}
+    )
+    with pytest.raises(ValueError, match="unknown filter type"):
+        pipeline.build(spark, cfg, df=transcripts)
