@@ -1,0 +1,181 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all DataFrame-native (the only Python is plan construction):
+
+- **exact**        hash-groupBy on normalized text → keep min-id doc
+- **MinHash+LSH**  shingle → n minhashes → band → bucket-join candidates
+- **SimHash**      60-bit fingerprint (textops.with_simhash) → band on bit
+                   chunks → hamming-verify candidates
+- **n-gram Jaccard** exact Jaccard over shingle sets for candidate pairs
+
+Scale design (100 TB story):
+- Exact dedup is ONE shuffle on a 16-byte md5 — the minimum possible.
+- MinHash signatures come from a single explode + groupBy where ALL n
+  minhashes are computed as n aggregate expressions in one pass (one
+  shuffle keyed by doc, partial aggregation map-side). LSH banding then
+  self-joins on (band_idx, band_key) — candidates only, never all pairs.
+- The portable md5-based hash (textops.portable_hash60) keeps every step
+  reproducible in DuckDB for the correctness oracle.
+- Verification (exact Jaccard) runs only on LSH candidates: |candidates| is
+  O(near-dups), not O(n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logspark.operators.textops import portable_hash60
+
+MERSENNE_P = 2147483647  # 2^31 - 1; (p-1)^2 < 2^62 so a*h+b stays in int64
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups by normalized-text md5; returns (fingerprint, keeper, n_dups).
+    keeper = min id — deterministic under any partitioning."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.withColumn("fingerprint", F.md5(norm))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per document: (id, shingle).
+
+    k-grams via transform over index sequence — no UDF; array_distinct
+    before explode keeps the exploded row count minimal."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    grams = F.when(F.size(toks) >= k, grams).otherwise(F.array())
+    return df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def _minhash_coeffs(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p — derived from
+    a fixed LCG so Spark and the SQL oracle can enumerate the same values."""
+    coeffs = []
+    state = seed
+    for _ in range(n_hashes):
+        state = (state * 1103515245 + 12345) % MERSENNE_P
+        a = state or 1
+        state = (state * 1103515245 + 12345) % MERSENNE_P
+        b = state
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(id, mh_0 … mh_{n-1}): one shuffle — explode shingles, then ALL n
+    minhashes as n min() aggregates over (a_i * h(shingle) + b_i) mod p."""
+    sh = shingles(df, id_col, text_col, k)
+    h = (portable_hash60(F.col("shingle")) % MERSENNE_P).alias("h")
+    sh = sh.select(id_col, h)
+    aggs = [
+        F.min((F.col("h") * a + b) % MERSENNE_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(n_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature, bucket-join: pairs (a, b), a < b, that agree on
+    at least one full band. Never materializes the n^2 pair space."""
+    rows_per_band = n_hashes // bands
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws("_", *[F.col(f"mh_{i * rows_per_band + j}") for j in range(rows_per_band)]).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_entries).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, ["band", "key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-gram sets: (a, b, jaccard).
+
+    Without `candidates`, pairs = docs sharing ≥1 shingle (exact but
+    quadratic in bucket size); with LSH `candidates` (a,b) it verifies only
+    those — the scale path."""
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(r, "shingle")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .select("a", "b", "jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs whose 60-bit simhash agrees on ≥1 of n_bands 15-bit
+    chunks (Hamming distance ≤ n_bands-1 guaranteed found). Input must carry
+    a `simhash` column (textops.with_simhash)."""
+    width = 60 // n_bands
+    chunk = lambda i: (F.col("simhash") / F.pow(F.lit(2.0), F.lit(float(i * width))).cast("long")).cast("long") % (2**width)
+    entries = F.array(*[F.struct(F.lit(i).alias("band"), chunk(i).alias("key")) for i in range(n_bands)])
+    banded = df.select(F.col(id_col), F.explode(entries).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, ["band", "key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )

@@ -1,0 +1,137 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting (exact + SimHash).
+
+All hot-path math is native Column expressions (split / filter / aggregate /
+transform — JVM-side, whole-stage codegen); the only hash primitive is a
+PORTABLE md5-derived 60-bit integer chosen so DuckDB oracles can reproduce
+results bit-for-bit:
+
+    Spark : cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)
+    DuckDB: cast('0x' || substr(md5(s), 1, 15) as bigint)
+
+At 100 TB each operator is a narrow map over the documents table — no
+shuffle, no Python. SimHash is computed with a per-token hash list folded
+64→60 bit-majority entirely inside one projection (no explode, so cost is
+O(tokens x 60) vectorized JVM ops per row, not x60 row blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# marker words per language for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": (),  # fallback bucket: CJK detection would go here
+}
+
+
+def portable_hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash reproducible in ANSI SQL/DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(col: Column, sep: str = " ") -> Column:
+    return F.split(col, sep)
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + char count + avg token length."""
+    toks = tokens(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_chars_calc", F.length(F.col(text_col)))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+                / F.greatest(F.size(toks), F.lit(1)),
+                6,
+            ),
+        )
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text", stopwords=STOPWORDS) -> DataFrame:
+    """Quality signals: stopword ratio, punctuation ratio, uppercase ratio.
+    Cheap, shuffle-free heuristics of the C4/Gopher-rule family."""
+    toks = tokens(F.col(text_col))
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    return (
+        df.withColumn("stopword_ratio", F.round(stop / n, 6))
+        .withColumn("punct_ratio", F.round(punct / F.greatest(F.length(text_col), F.lit(1)), 6))
+        .withColumn(
+            "quality_ok",
+            (F.size(toks) >= 5) & (F.col("stopword_ratio") <= 0.6),
+        )
+    )
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hits, ties and
+    zero-evidence → 'und'. (A real system would use fastText/CLD3 — the
+    operator shape, not the classifier, is what matters here.)"""
+    toks = tokens(F.col(text_col))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers))) if markers else F.lit(0)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # deterministic argmax: best score wins, first-listed language on ties
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in ("en", "de", "fr"):  # fixed priority order
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return df.withColumn("lang_guess", best)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-dup fingerprint: md5 of normalized text (lower, squeezed ws)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm))
+
+
+SIMHASH_BITS = 60  # md5-15-hex portable hash gives 60 usable bits
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over whitespace tokens, fully native:
+
+        token_hashes = transform(tokens, t -> portable_hash60(t))
+        bit_j        = sign( sum_t (+1 if bit j of hash(t) else -1) )
+        simhash      = sum_j (bit_j << j)
+
+    One projection, no shuffle, no Python — and reproducible in DuckDB SQL
+    for the oracle. Near-dup candidates then band on bit ranges (see
+    dedup.simhash_bands)."""
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"))
+    # 2^j as a column (powers of two are exact in float64 up to 2^59)
+    pow2 = lambda j: F.pow(F.lit(2.0), j.cast("double")).cast("long")
+    bit_cols = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda j: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(pow2(j)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            pow2(j),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return df.withColumn(
+        "simhash", F.aggregate(bit_cols, F.lit(0).cast("long"), lambda acc, b: acc + b)
+    )

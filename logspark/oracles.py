@@ -1,0 +1,364 @@
+"""DuckDB oracle SQL for every driver-contract query (see logspark.queries).
+
+Each SQL string computes EXACTLY the same values as its Spark counterpart:
+- same md5-derived 60-bit portable hash
+- same left-fold order for float sums (`list_reduce`, not `list_sum`,
+  wherever doubles are folded — DuckDB's list_sum order is unspecified)
+- DECIMAL(18,2) sums for aggregated doubles (order-independent)
+- regexp_replace always carries the 'g' flag (DuckDB is first-match by
+  default; Spark is global)
+"""
+
+from __future__ import annotations
+
+from logspark.operators.dedup import MERSENNE_P, _minhash_coeffs
+
+H60 = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+# ---------------------------------------------------------------------------
+# flagship pipeline (events → transcripts shape → grok → route → counts)
+# ---------------------------------------------------------------------------
+
+_PIPELINE_CTE = """
+WITH t AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CASE WHEN value >= 400 THEN 'note ' || props ELSE props END AS text,
+         ts
+  FROM events
+), p AS (
+  SELECT *,
+         regexp_matches(text, '^\\{{"k": [+-]?[0-9]+\\}}') AS matched,
+         CASE WHEN regexp_matches(text, '^\\{{"k": [+-]?[0-9]+\\}}')
+              THEN CAST(regexp_extract(text, '^\\{{"k": ([+-]?[0-9]+)\\}}', 1) AS BIGINT)
+         END AS k
+  FROM t
+), routed AS (
+  SELECT 'parsed' AS sink, conv_id, turn_idx, text, ts FROM p WHERE matched
+  UNION ALL
+  SELECT 'high_k', conv_id, turn_idx, text, ts FROM p WHERE matched AND k >= 50
+  UNION ALL
+  SELECT 'raw', conv_id, turn_idx, text, ts FROM p WHERE NOT matched
+)
+{select}
+""".format
+
+PIPELINE_SINK_COUNTS = _PIPELINE_CTE(
+    select="SELECT sink, conv_id, date_trunc('hour', ts) AS bucket, COUNT(*) AS n "
+    "FROM routed GROUP BY 1, 2, 3"
+)
+
+PIPELINE_ROUTED_ROWS = _PIPELINE_CTE(
+    select="SELECT sink, conv_id, turn_idx, text FROM routed"
+)
+
+# ---------------------------------------------------------------------------
+# filter-chain operators
+# ---------------------------------------------------------------------------
+
+GROK_TYPED_CAPTURE = """
+SELECT event_id,
+       CASE WHEN regexp_matches(props, '^\\{"k": [+-]?[0-9]+\\}')
+            THEN CAST(regexp_extract(props, '^\\{"k": ([+-]?[0-9]+)\\}', 1) AS BIGINT)
+       END AS k
+FROM events
+"""
+
+GROK_FAILURE_TAG = """
+SELECT doc_id,
+       NOT regexp_matches(text, '^key ') AS grok_failed,
+       CASE WHEN regexp_matches(text, '^key ')
+            THEN regexp_extract(text, '^key (.*)', 1) END AS rest
+FROM documents
+"""
+
+PATCH_TEMPLATE = """
+SELECT event_id,
+       event_type || '/' || CAST(user_id AS VARCHAR) AS route_key,
+       strftime(ts, '%Y-%m-%d') AS day
+FROM events
+"""
+
+PATCH_REGEX_REPLACE = r"""
+SELECT doc_id, regexp_replace(text, '\ba\b', '@', 'g') AS redacted FROM documents
+"""
+
+JSON_CODEC = """
+SELECT event_id,
+       CAST(NULLIF(regexp_extract(props, '"k": ([+-]?[0-9]+)', 1), '') AS BIGINT) AS k_json
+FROM events
+"""
+
+PREDICATE_FILTER = """
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE event_type IN ('click', 'view') AND value > 50
+GROUP BY 1
+"""
+
+MUTATE_TAGS = """
+SELECT event_id, 'seen' AS tags_str FROM events WHERE value < 250
+"""
+
+# ---------------------------------------------------------------------------
+# enrich / router / aggregates
+# ---------------------------------------------------------------------------
+
+ENRICH_GEO = """
+SELECT r_name, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+_EVENT_ROUTED = """
+WITH routed AS (
+  SELECT 'clicks' AS sink, event_id, ts FROM events WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT 'conversions', event_id, ts FROM events WHERE event_type IN ('signup', 'purchase')
+  UNION ALL
+  SELECT 'errors_sink', event_id, ts FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT 'hot', event_id, ts FROM events WHERE value >= 400
+)
+"""
+
+ROUTER_FANOUT = _EVENT_ROUTED + "SELECT sink, event_id FROM routed"
+
+SINK_COUNTS_HOURLY = (
+    _EVENT_ROUTED
+    + "SELECT sink, date_trunc('hour', ts) AS bucket, COUNT(*) AS n FROM routed GROUP BY 1, 2"
+)
+
+WINDOW_BUCKET_AGG = """
+SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+TOPK_USERS = """
+SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY 1 ORDER BY total DESC, user_id LIMIT 10
+"""
+
+TURN_SEQUENCE_LAG = """
+SELECT event_type, prev_type, COUNT(*) AS n FROM (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+) GROUP BY 1, 2
+"""
+
+DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+TOKEN_STATS = """
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       round(CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+             / greatest(len(w), 1), 6) AS avg_token_len
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+_STOP = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+
+QUALITY_SCORES = f"""
+SELECT doc_id,
+       round(CAST(len(list_filter(w, t -> t IN {_STOP})) AS DOUBLE)
+             / greatest(len(w), 1), 6) AS stopword_ratio,
+       round(CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / greatest(len(text), 1), 6) AS punct_ratio,
+       (len(w) >= 5 AND
+        round(CAST(len(list_filter(w, t -> t IN {_STOP})) AS DOUBLE)
+              / greatest(len(w), 1), 6) <= 0.6) AS quality_ok
+FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+"""
+
+LANG_ID = """
+SELECT doc_id,
+       CASE WHEN fr > en AND fr > de AND fr > 0 THEN 'fr'
+            WHEN de > en AND de > 0 THEN 'de'
+            WHEN en > 0 THEN 'en'
+            ELSE 'und' END AS lang_guess
+FROM (
+  SELECT doc_id,
+         len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of'))) AS en,
+         len(list_filter(w, t -> t IN ('der', 'die', 'das', 'und'))) AS de,
+         len(list_filter(w, t -> t IN ('le', 'la', 'et', 'les'))) AS fr
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+"""
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+_SHINGLES_CTE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM w WHERE len(w) >= 3
+  )
+)
+"""
+
+
+def _minhash_select() -> str:
+    h = H60.format(s="shingle")
+    aggs = ",\n       ".join(
+        f"MIN((h * {a} + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(16))
+    )
+    return (
+        _SHINGLES_CTE
+        + f", h AS (SELECT doc_id, {h} % {MERSENNE_P} AS h FROM sh)\n"
+        + f"SELECT doc_id, {aggs} FROM h GROUP BY doc_id"
+    )
+
+
+MINHASH_SIGNATURES = _minhash_select()
+
+
+def _lsh_select() -> str:
+    band_selects = []
+    for band in range(4):
+        key = " || '_' || ".join(
+            f"CAST(mh_{band * 4 + j} AS VARCHAR)" for j in range(4)
+        )
+        band_selects.append(f"SELECT doc_id, {band} AS band, {key} AS key FROM sigs")
+    bands = "\n  UNION ALL\n  ".join(band_selects)
+    return (
+        f"WITH sigs AS (\n{MINHASH_SIGNATURES}\n), bands AS (\n  {bands}\n)\n"
+        "SELECT DISTINCT l.doc_id AS a, r.doc_id AS b\n"
+        "FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id"
+    )
+
+
+LSH_CANDIDATES = _lsh_select()
+
+NGRAM_JACCARD = (
+    _SHINGLES_CTE
+    + """,
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = a
+JOIN sz sb ON sb.doc_id = b
+WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
+"""
+)
+
+SIMHASH = f"""
+SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
+         CASE WHEN list_sum(list_transform(hs,
+                h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+              THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+FROM (SELECT doc_id,
+             list_transform(string_split(text, ' '), t -> {H60.format(s='t')}) AS hs
+      FROM documents)
+"""
+
+# ---------------------------------------------------------------------------
+# similarity (list_reduce = guaranteed left fold, matching Spark aggregate)
+# ---------------------------------------------------------------------------
+
+_DOT = "list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+_NRM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+
+
+def _cos(a: str, b: str) -> str:
+    return f"round({_DOT.format(a=a, b=b)} / ({_NRM.format(a=a)} * {_NRM.format(a=b)}), 6)"
+
+
+EMBED_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)
+SELECT vec_id, {_cos('v', 'qv')} AS sim
+FROM s CROSS JOIN q
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+_BUCKETS_CTE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bit, v AS av
+      FROM v ORDER BY vec_id LIMIT 6),
+dots AS (SELECT v.vec_id, a.bit, {_DOT.format(a='v.v', b='a.av')} AS d
+         FROM v CROSS JOIN a),
+b AS (SELECT vec_id,
+             CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY 1)
+"""
+
+EMBED_ANN_LSH = (
+    _BUCKETS_CTE
+    + f""",
+qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+s AS (SELECT b.vec_id, v.v FROM b JOIN v USING (vec_id)
+      CROSS JOIN qb WHERE b.bucket = qb.qbucket AND b.vec_id <> 0)
+SELECT vec_id, {_cos('v', 'qv')} AS sim
+FROM s CROSS JOIN q
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+)
+
+EMBED_NEAR_DUPS = (
+    _BUCKETS_CTE
+    + f""",
+lv AS (SELECT b.vec_id AS a, v.v AS va, b.bucket FROM b JOIN v USING (vec_id)),
+rv AS (SELECT b.vec_id AS b_id, v.v AS vb, b.bucket FROM b JOIN v USING (vec_id))
+SELECT a, b_id AS b, {_cos('va', 'vb')} AS sim
+FROM lv JOIN rv ON lv.bucket = rv.bucket AND lv.a < rv.b_id
+WHERE {_cos('va', 'vb')} >= 0.8
+"""
+)
+
+ORACLES: dict[str, str] = {
+    "pipeline_sink_counts": PIPELINE_SINK_COUNTS,
+    "pipeline_routed_rows": PIPELINE_ROUTED_ROWS,
+    "grok_typed_capture": GROK_TYPED_CAPTURE,
+    "grok_failure_tag": GROK_FAILURE_TAG,
+    "patch_template": PATCH_TEMPLATE,
+    "patch_regex_replace": PATCH_REGEX_REPLACE,
+    "json_codec": JSON_CODEC,
+    "predicate_filter": PREDICATE_FILTER,
+    "mutate_tags": MUTATE_TAGS,
+    "enrich_geo": ENRICH_GEO,
+    "router_fanout": ROUTER_FANOUT,
+    "sink_counts_hourly": SINK_COUNTS_HOURLY,
+    "window_bucket_agg": WINDOW_BUCKET_AGG,
+    "topk_users": TOPK_USERS,
+    "turn_sequence_lag": TURN_SEQUENCE_LAG,
+    "distinct_users": DISTINCT_USERS,
+    "token_stats": TOKEN_STATS,
+    "quality_scores": QUALITY_SCORES,
+    "lang_id": LANG_ID,
+    "dedup_exact": DEDUP_EXACT,
+    "minhash_signatures": MINHASH_SIGNATURES,
+    "lsh_candidates": LSH_CANDIDATES,
+    "ngram_jaccard": NGRAM_JACCARD,
+    "simhash": SIMHASH,
+    "embed_cosine_topk": EMBED_COSINE_TOPK,
+    "embed_ann_lsh": EMBED_ANN_LSH,
+    "embed_near_dups": EMBED_NEAR_DUPS,
+    # multimodal_features: binary decode — genuinely non-SQL, rows-only check
+}

@@ -1,0 +1,366 @@
+"""Driver-contract queries: one per implemented operator (SURVEY.md §2 +
+training-data extensions), each with a DuckDB oracle (see __spark_entry__).
+
+Every Spark callable takes (spark, sf_dir) and returns a DataFrame whose
+column names/types match its oracle SQL exactly (the driver hash-compares
+values after sorting by column name).
+
+Reproducibility rules used throughout:
+- double sums are order-dependent → cast to DECIMAL(18,2) BEFORE summing
+- row-local float folds (dot products) use the same left-fold order in both
+  engines → identical doubles → round(…, 6) is stable
+- the only cross-engine hash primitive is the portable md5-based 60-bit int
+  (Spark `conv(substr(md5 …))` ↔ DuckDB `cast('0x' || substr(md5 …))`)
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logspark.operators import dedup, multimodal, similarity, textops
+from logspark.operators.aggregates import sink_counts
+from logspark.operators.enrich import enrich
+from logspark.operators.filters import apply_filter_chain, ensure_tags
+from logspark.operators.router import route
+from logspark.functions.predicates import compile_predicate
+
+# ---------------------------------------------------------------------------
+# worker shipping: make the logspark package importable on executor Python
+# workers even when the driver process was launched outside /root/repo
+# (sandbox equivalent of `spark-submit --py-files logspark.zip`)
+# ---------------------------------------------------------------------------
+
+_REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def ensure_workers(spark: SparkSession) -> None:
+    if getattr(spark, "_logspark_shipped", False):
+        return
+    zip_path = "/tmp/logspark_pkg.zip"
+    pkg_dir = os.path.join(_REPO_DIR, "logspark")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, _REPO_DIR))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this JVM
+    spark._logspark_shipped = True
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# The flagship: events mapped to the transcripts shape → full pipeline
+# (grok parse → tag → route → per-sink (conv_id, hour) counts)
+# ---------------------------------------------------------------------------
+
+GROK_K = r'\{"k": %{INT:k:int}\}'
+
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic events→transcripts mapping (same expressions as the
+    oracle SQL): rows with value >= 400 get a 'note ' prefix so the anchored
+    grok has a real failure path."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type").isin("signup", "purchase"), "assistant")
+        .otherwise("tool")
+        .alias("role"),
+        F.when(F.col("value") >= 400, F.concat(F.lit("note "), F.col("props")))
+        .otherwise(F.col("props"))
+        .alias("text"),
+        F.col("event_type").alias("tool"),
+        F.col("ts"),
+    )
+
+
+FLAGSHIP_FILTERS = [
+    {"type": "grok", "source": "text", "match": [GROK_K], "add_tag": ["parsed"], "accumulators": False},
+]
+FLAGSHIP_SINKS = [
+    {"name": "parsed", "when": {"tags_include": ["parsed"]}},
+    {"name": "high_k", "when": {"tags_include": ["parsed"], "expr": "k >= 50"}},
+    {"name": "raw", "when": {"tags_include": ["_grokparsefailure"]}},
+]
+
+
+def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    parsed = apply_filter_chain(t, FLAGSHIP_FILTERS)
+    routed = route(parsed, FLAGSHIP_SINKS)
+    return sink_counts(routed, bucket="hour")
+
+
+def q_pipeline_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed-row equality surface: (sink, conv_id, turn_idx, text)."""
+    ensure_workers(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    parsed = apply_filter_chain(t, FLAGSHIP_FILTERS)
+    routed = route(parsed, FLAGSHIP_SINKS)
+    return routed.select("sink", "conv_id", "turn_idx", "text")
+
+
+# ---------------------------------------------------------------------------
+# filter-chain operators (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+
+def q_grok_typed_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = apply_filter_chain(
+        ev, [{"type": "grok", "source": "props", "match": [GROK_K], "accumulators": False}]
+    )
+    return out.select("event_id", "k")
+
+
+def q_grok_failure_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = apply_filter_chain(
+        docs,
+        [{"type": "grok", "source": "text", "match": [r"key %{GREEDYDATA:rest}"], "accumulators": False}],
+    )
+    return out.select(
+        "doc_id",
+        F.array_contains("tags", "_grokparsefailure").alias("grok_failed"),
+        "rest",
+    )
+
+
+def q_patch_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = ensure_tags(_t(spark, sf_dir, "events"))
+    out = apply_filter_chain(
+        ev,
+        [{"type": "patch", "fields": {"route_key": "%{event_type}/%{user_id}", "day": "%{+yyyy-MM-dd}"}}],
+    )
+    return out.select("event_id", "route_key", "day")
+
+
+def q_patch_regex_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = apply_filter_chain(
+        docs,
+        [{"type": "patch", "replace": [{"field": "text", "pattern": r"\ba\b", "replacement": "@"}]}],
+    )
+    return out.select("doc_id", F.col("text").alias("redacted"))
+
+
+def q_json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = apply_filter_chain(
+        ev, [{"type": "json", "source": "props", "schema": "k bigint", "tag_on_failure": False}]
+    )
+    return out.select("event_id", F.col("k").alias("k_json"))
+
+
+def q_predicate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = ensure_tags(_t(spark, sf_dir, "events"))
+    pred = compile_predicate({"field_in": {"event_type": ["click", "view"]}, "expr": "value > 50"})
+    return ev.filter(pred).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_mutate_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = ensure_tags(_t(spark, sf_dir, "events"))
+    out = apply_filter_chain(
+        ev,
+        [
+            {"type": "mutate", "add_tag": ["seen", "v1"], "remove_tag": ["v1"]},
+            {"type": "drop", "when": {"expr": "value >= 250"}},
+        ],
+    )
+    return out.select("event_id", F.array_join("tags", ",").alias("tags_str"))
+
+
+# ---------------------------------------------------------------------------
+# enrich / router / aggregates (SURVEY.md §2.3, §2.8, §2.4)
+# ---------------------------------------------------------------------------
+
+
+def q_enrich_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    out = enrich(enrich(cust, nation, "c_nationkey"), region, "n_regionkey")
+    return out.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+    )
+
+
+EVENT_SINKS = [
+    {"name": "clicks", "when": {"field_in": {"event_type": ["click", "view"]}}},
+    {"name": "conversions", "when": {"field_in": {"event_type": ["signup", "purchase"]}}},
+    {"name": "errors_sink", "when": {"field_equals": {"event_type": "error"}}},
+    {"name": "hot", "when": {"expr": "value >= 400"}},  # overlaps the others
+]
+
+
+def q_router_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = ensure_tags(_t(spark, sf_dir, "events"))
+    return route(ev, EVENT_SINKS).select("sink", "event_id")
+
+
+def q_sink_counts_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = ensure_tags(_t(spark, sf_dir, "events"))
+    routed = route(ev, EVENT_SINKS)
+    return routed.groupBy(
+        "sink", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_window_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"))
+        .orderBy(F.col("total").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+def q_turn_sequence_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .groupBy("event_type", "prev_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: text analysis / dedup / similarity
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.with_token_stats(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "avg_token_len"
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.with_quality(docs).select("doc_id", "stopword_ratio", "punct_ratio", "quality_ok")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.with_lang_guess(docs).select("doc_id", "lang_guess")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, n_hashes=16)
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_hashes=16)
+    return dedup.lsh_candidates(sigs, n_hashes=16, bands=4)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard(docs, threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.with_simhash(docs).select("doc_id", "simhash")
+
+
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, query_id=0, k=10)
+
+
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(emb, query_id=0, n_anchors=6, k=10)
+
+
+def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(emb, threshold=0.8, n_anchors=6)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode plumbing — genuinely non-SQL; rows-only driver check."""
+    ensure_workers(spark)
+    media = multimodal.synth_media_df(spark, 64)
+    return multimodal.extract_features(media, fake=True)
+
+
+QUERIES = {
+    "pipeline_sink_counts": q_pipeline_sink_counts,
+    "pipeline_routed_rows": q_pipeline_routed_rows,
+    "grok_typed_capture": q_grok_typed_capture,
+    "grok_failure_tag": q_grok_failure_tag,
+    "patch_template": q_patch_template,
+    "patch_regex_replace": q_patch_regex_replace,
+    "json_codec": q_json_codec,
+    "predicate_filter": q_predicate_filter,
+    "mutate_tags": q_mutate_tags,
+    "enrich_geo": q_enrich_geo,
+    "router_fanout": q_router_fanout,
+    "sink_counts_hourly": q_sink_counts_hourly,
+    "window_bucket_agg": q_window_bucket_agg,
+    "topk_users": q_topk_users,
+    "turn_sequence_lag": q_turn_sequence_lag,
+    "distinct_users": q_distinct_users,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidates": q_lsh_candidates,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "embed_cosine_topk": q_embed_cosine_topk,
+    "embed_ann_lsh": q_embed_ann_lsh,
+    "embed_near_dups": q_embed_near_dups,
+    "multimodal_features": q_multimodal_features,
+}

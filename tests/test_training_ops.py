@@ -1,0 +1,138 @@
+"""Training-data pipeline operators: text analysis, dedup, similarity,
+multimodal plumbing — over the driver-provided sf0.001 tables."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from logspark.operators import dedup, multimodal, similarity, textops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_token_stats(docs):
+    out = textops.with_token_stats(docs).select("doc_id", "text", "n_tokens", "avg_token_len").first()
+    assert out["n_tokens"] == len(out["text"].split(" "))
+    toks = out["text"].split(" ")
+    assert out["avg_token_len"] == pytest.approx(sum(map(len, toks)) / len(toks), abs=1e-6)
+
+
+def test_quality(docs):
+    row = textops.with_quality(docs).first()
+    toks = row["text"].split(" ")
+    stop = sum(1 for t in toks if t in textops.STOPWORDS)
+    assert row["stopword_ratio"] == pytest.approx(stop / len(toks), abs=1e-6)
+    assert isinstance(row["quality_ok"], bool)
+
+
+def test_lang_guess_deterministic(docs):
+    out = textops.with_lang_guess(docs).groupBy("lang_guess").count().collect()
+    assert {r["lang_guess"] for r in out} <= {"en", "de", "fr", "und"}
+
+
+def test_fingerprint_and_exact_dedup(spark, docs):
+    fp = textops.with_fingerprint(docs)
+    assert fp.select("fingerprint").distinct().count() == fp.count()  # corpus is all-distinct
+    # inject a duplicate → dedup catches it
+    dup = docs.limit(1).withColumn("doc_id", F.lit(999999))
+    d = dedup.exact_dedup(docs.unionByName(dup))
+    assert d.filter(F.col("n_dups") > 1).count() == 1
+    assert d.count() == docs.count()
+
+
+def test_simhash_near_dup_detection(spark, docs):
+    base = textops.with_simhash(docs.limit(50))
+    # a doc with one word changed should be within small hamming distance
+    mutated = docs.limit(1).withColumn(
+        "doc_id", F.lit(888888)
+    ).withColumn("text", F.regexp_replace("text", r"^\w+", "zzzz"))
+    both = textops.with_simhash(docs.limit(1).unionByName(mutated))
+    a, b = [r["simhash"] for r in both.collect()]
+    hamming = bin(a ^ b).count("1")
+    assert hamming <= 12  # one-token change flips few bits of a 60-bit simhash
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, docs):
+    near = docs.limit(1).withColumn("doc_id", F.lit(777777)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" tail"))
+    )
+    corpus = docs.limit(100).unionByName(near)
+    sigs = dedup.minhash_signatures(corpus, n_hashes=16)
+    assert sigs.count() == 101
+    cand = dedup.lsh_candidates(sigs, n_hashes=16, bands=4)
+    planted = cand.filter((F.col("b") == 777777)).collect()
+    assert len(planted) >= 1  # the planted pair must surface as a candidate
+    # verify stage: exact jaccard of the planted (0, 777777) pair is high
+    # (the corpus itself contains natural near-dups, so other hits are fine)
+    jac = dedup.ngram_jaccard(corpus, candidates=cand, threshold=0.5)
+    hit = jac.filter((F.col("a") == 0) & (F.col("b") == 777777)).collect()
+    assert len(hit) == 1 and hit[0]["jaccard"] > 0.8
+
+
+def test_ngram_jaccard_bounds(docs):
+    out = dedup.ngram_jaccard(docs.limit(40))
+    bad = out.filter((F.col("jaccard") <= 0) | (F.col("jaccard") > 1)).count()
+    assert bad == 0
+
+
+def test_cosine_topk_matches_numpy(emb):
+    import numpy as np
+
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    q = rows[0]
+    sims = {
+        i: float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for i, v in rows.items()
+        if i != 0
+    }
+    expected = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+    got = similarity.cosine_topk(emb, query_id=0, k=5).collect()
+    assert [r["vec_id"] for r in got] == [i for i, _ in expected]
+    for r, (_, s) in zip(got, expected):
+        assert r["sim"] == pytest.approx(s, abs=1e-5)
+
+
+def test_ann_topk_subset_of_bucket(emb):
+    got = similarity.ann_topk(emb, query_id=0, n_anchors=4, k=5).collect()
+    assert 0 < len(got) <= 5
+    assert all(-1.0 <= r["sim"] <= 1.0 for r in got)
+    # ANN results are true cosine values: spot-check against brute force
+    brute = {r["vec_id"]: r["sim"] for r in similarity.cosine_topk(emb, 0, k=500).collect()}
+    for r in got:
+        assert r["sim"] == pytest.approx(brute[r["vec_id"]], abs=1e-6)
+
+
+def test_embedding_near_dups_threshold(emb):
+    out = similarity.embedding_near_dups(emb.limit(120), threshold=0.9, n_anchors=4)
+    assert out.filter(F.col("sim") < 0.9).count() == 0
+
+
+def test_multimodal_feature_extraction(spark):
+    media = multimodal.synth_media_df(spark, 30)
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r["n_bytes"] > 0 and r["frame_count"] >= 1 for r in rows)
+    assert all(not math.isnan(r["feat_mean"]) for r in rows)
+    # deterministic: same input → same features
+    again = {r["media_id"]: r["feat_mean"] for r in multimodal.extract_features(media, fake=True).collect()}
+    assert all(again[r["media_id"]] == r["feat_mean"] for r in rows)
+
+
+def test_multimodal_real_decoder_gated(spark):
+    media = multimodal.synth_media_df(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_features(media, fake=False).collect()
