@@ -1,0 +1,107 @@
+"""Scaling-bench runner: one parse→route measurement per process.
+
+The north rule requires throughput at two cluster sizes (N and 4N) with
+efficiency ≥ 0.8. No real cluster exists in the sandbox, so the evidence
+protocol (BASELINE.md) is the same job at local[8] and local[32] on the
+same input, each in a FRESH JVM (this module is invoked as a subprocess per
+parallelism level so no executor/worker state carries over).
+
+The measured job is the full canonical pipeline over a pre-generated
+transcripts table: scan → grok pandas UDF (2 patterns) → json codec →
+patch templates → 2 broadcast enrich joins → sinks/explode router →
+partitioned routed write + per-sink (conv_id, hour) counts write.
+
+Input is generated once (deterministic, seed=42) with 128 parquet files so
+both runs are parallelism-bound, not split-bound.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+DEFAULT_INPUT = "/tmp/logspark_bench/transcripts.parquet"
+N_FILES = 128
+
+
+def ensure_bench_input(spark, path: str = DEFAULT_INPUT, n_turns: int = 48_000_000) -> int:
+    """Generate the bench transcripts table once; returns actual row count."""
+    from logspark.datagen import write_transcripts
+
+    marker = os.path.join(os.path.dirname(path), f"_GEN_{n_turns}")
+    if os.path.exists(marker) and os.path.exists(path):
+        return n_turns
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_transcripts(spark, path, n_turns, parallelism=N_FILES)
+    open(marker, "w").write(str(n_turns))
+    return n_turns
+
+
+def run_parse_route(spark, input_path: str, out_dir: str) -> dict:
+    """The measured job. Returns {rows, seconds, turns_per_sec}."""
+    from pyspark.sql import functions as F
+
+    from logspark.config import canonical_config
+    from logspark.datagen import role_map_pdf, tool_catalog_pdf
+    from logspark.plans.pipeline import build
+    from logspark.queries import ensure_workers
+
+    ensure_workers(spark)
+    cfg = canonical_config()
+    cfg.input = [{"type": "memory"}]
+    # metrics accumulators on (the production configuration), observation on
+    dims = {
+        "tool_catalog": spark.createDataFrame(tool_catalog_pdf()),
+        "role_map": spark.createDataFrame(role_map_pdf()),
+    }
+    src = spark.read.parquet(input_path)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.time()
+    bp = build(spark, cfg, df=src, dims=dims, observe=True)
+    routed_path = os.path.join(out_dir, "routed")
+    bp.routed.write.mode("overwrite").partitionBy("sink").parquet(routed_path)
+    # counts from the written sink (one parse pass total; pruned 3-col scan)
+    from logspark.operators.aggregates import sink_counts
+
+    sink_counts(spark.read.parquet(routed_path)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "sink_counts")
+    )
+    seconds = time.time() - t0
+
+    rows = int(bp.observation.get["rows_in"])
+    return {
+        "rows": rows,
+        "seconds": round(seconds, 2),
+        "turns_per_sec": round(rows / seconds, 1),
+        "parse_failures": int(bp.observation.get["parse_failures"]),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--input", default=DEFAULT_INPUT)
+    ap.add_argument("--n-turns", type=int, default=48_000_000)
+    ap.add_argument("--generate-only", action="store_true")
+    args = ap.parse_args()
+
+    from logspark.session import get_spark
+
+    spark = get_spark(master=f"local[{args.cores}]", app_name=f"bench-{args.cores}")
+    ensure_bench_input(spark, args.input, args.n_turns)
+    if args.generate_only:
+        print(json.dumps({"generated": args.n_turns}))
+        return
+    out = run_parse_route(spark, args.input, f"/tmp/logspark_bench/out_{args.cores}")
+    out["cores"] = args.cores
+    print("BENCH_RESULT " + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

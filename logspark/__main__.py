@@ -1,0 +1,78 @@
+"""CLI — the spark-submit entry point, mirroring the reference agent's
+`logagent -config pipeline.json` invocation:
+
+    spark-submit --py-files logspark.zip -m logspark \
+        --config pipeline.json --input-dir /data/in --sink-root /data/out
+    # or locally:
+    python -m logspark --config pipeline.json --input-dir ... --sink-root ...
+
+Runs one resume-aware batch of the configured pipeline (incremental over
+the manifest), or --stream for the continuous foreachBatch mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import uuid
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="logspark")
+    ap.add_argument("--config", required=True, help="3-section pipeline config (json/yaml)")
+    ap.add_argument("--input-dir", required=True, help="directory of input tables")
+    ap.add_argument("--sink-root", required=True, help="output root (sinks + manifest)")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--full", action="store_true", help="ignore manifest; process everything")
+    ap.add_argument("--stream", action="store_true", help="continuous mode (foreachBatch)")
+    args = ap.parse_args(argv)
+
+    from logspark.config import PipelineConfig
+    from logspark.datagen import role_map_pdf, tool_catalog_pdf
+    from logspark.queries import ensure_workers
+    from logspark.session import get_spark
+    from logspark.sources.tableio import ParquetIO
+
+    spark = get_spark(master=args.master, app_name="logspark-agent")
+    ensure_workers(spark)
+    cfg = PipelineConfig.load(args.config)
+    dims = {
+        "tool_catalog": spark.createDataFrame(tool_catalog_pdf()),
+        "role_map": spark.createDataFrame(role_map_pdf()),
+    }
+
+    if args.stream:
+        from logspark.streaming import stream_pipeline
+
+        table = next(i["table"] for i in cfg.input if i["type"] == "table")
+        q = stream_pipeline(
+            spark,
+            cfg,
+            input_dir=f"{args.input_dir}/{table}.parquet",
+            sink_root=args.sink_root,
+            checkpoint_dir=f"{args.sink_root}/_checkpoint",
+            dims=dims,
+        )
+        q.awaitTermination()
+        print(json.dumps({"mode": "stream", "status": "drained"}))
+        return 0
+
+    from logspark.plans.pipeline import run
+
+    res = run(
+        spark,
+        cfg,
+        ParquetIO(args.input_dir),
+        args.sink_root,
+        run_id=args.run_id or f"run-{uuid.uuid4().hex[:8]}",
+        dims=dims,
+        incremental=not args.full,
+    )
+    print(json.dumps({"run_id": res.run_id, "sink_rows": res.sink_rows, "metrics": res.metrics}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -115,25 +115,22 @@ def grok_filter(df: DataFrame, cfg: dict) -> DataFrame:
 
         accs = parse_accumulators(df.sparkSession.sparkContext, cfg.get("id", "grok"))
 
+    # Cheap prefilter (Sparser-style "filter before you parse", PAPERS.md).
+    # It runs INSIDE the pandas UDF: a JVM-side CASE WHEN around a Python
+    # UDF does NOT skip evaluation (ExtractPythonUDFs evaluates the UDF for
+    # every row unconditionally), so the skip has to happen in pandas.
+    prefilter = cfg.get("prefilter_rlike")
+
     def _extract(s: pd.Series) -> pd.DataFrame:
         cg = compile_grok(list(match), dict(patterns_items) if patterns_items else None, anchor)
-        out = cg.extract_pandas(s)
+        out = cg.extract_pandas(s, prefilter=prefilter)
         if accs is not None:
             accs.rows.add(len(s))
             accs.matched.add(int(out["_grok_matched"].sum()))
         return out
 
     udf = F.pandas_udf(_extract, returnType=schema)
-
-    # Optional cheap native prefilter (Sparser-style "filter before you
-    # parse", PAPERS.md): rows failing the rlike skip the regex UDF entirely.
-    prefilter = cfg.get("prefilter_rlike")
-    gcol = udf(F.col(source))
-    if prefilter:
-        null_struct = F.lit(None).cast(schema)
-        gcol = F.when(F.col(source).rlike(prefilter), gcol).otherwise(null_struct)
-
-    df = df.withColumn("_g", gcol)
+    df = df.withColumn("_g", udf(F.col(source)))
     for name in capture_names:
         df = df.withColumn(name, F.col("_g").getField(name))
     matched = F.coalesce(F.col("_g").getField("_grok_matched"), F.lit(False))

@@ -39,5 +39,11 @@ def route(df: DataFrame, sink_cfgs: list[dict], keep_sinks_col: bool = False) ->
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate sink names in config: {names}")
     df = df.withColumn("sinks", sinks_column(sink_cfgs))
-    df = df.withColumn("sink", F.explode("sinks"))
+    # explode_outer + IS NOT NULL instead of plain explode: semantically
+    # identical (zero-sink events dropped), but the null-filter applies to
+    # the Generate OUTPUT column, so Catalyst cannot push a sinks-derived
+    # predicate below the (expensive, UDF-backed) sinks projection. With
+    # plain explode, InferFiltersFromGenerate duplicates the grok UDF —
+    # see session.ENGINE_CONF excludedRules.
+    df = df.withColumn("sink", F.explode_outer("sinks")).filter(F.col("sink").isNotNull())
     return df if keep_sinks_col else df.drop("sinks")

@@ -136,8 +136,15 @@ def run(
 
     routed_path = os.path.join(sink_root, "runs", run_id, "routed")
     bp.routed.write.mode("overwrite").partitionBy("sink").parquet(routed_path)
+    # Counts come from the WRITTEN sink, not a recomputation: the parse→route
+    # stage runs exactly once, and the (sink, conv_id, ts)-only re-read is a
+    # column-pruned parquet scan — tiny next to the parse cost. This also
+    # makes the counts describe what physically landed in each sink.
     counts_path = os.path.join(sink_root, "runs", run_id, "sink_counts")
-    bp.counts.write.mode("overwrite").parquet(counts_path)
+    written = spark.read.parquet(routed_path)
+    sink_counts(written, bucket=cfg.aggregate.get("bucket", "hour")).write.mode(
+        "overwrite"
+    ).parquet(counts_path)
 
     per_sink = {
         r["sink"]: r["n"]

@@ -14,6 +14,13 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.python.worker.reuse": "true",
+    # InferFiltersFromGenerate synthesizes a size(sinks)>0 filter BELOW the
+    # router's explode; sinks derives from the grok pandas UDF, so the rule
+    # duplicates the entire Python evaluation (2x ArrowEvalPython nodes —
+    # measured 2x parse cost). The router also uses explode_outer+filter as
+    # a second line of defense, but excluding the rule keeps ad-hoc plans
+    # safe too.
+    "spark.sql.optimizer.excludedRules": "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -1,0 +1,11 @@
+"""Streaming-mode wrapper (SURVEY.md §2.10).
+
+The reference is a continuous agent; our v1 recast is batch (pinned by
+BASELINE.json). This module is the documented continuous path: the SAME
+filter-chain / enrich / router functions applied per micro-batch via
+``foreachBatch`` — zero operator code is streaming-specific.
+"""
+
+from logspark.streaming.foreach import stream_pipeline
+
+__all__ = ["stream_pipeline"]

@@ -1,0 +1,74 @@
+"""Structured-Streaming execution of the batch pipeline.
+
+go-logagent runs forever, tailing inputs (SURVEY.md §3.1 entry 2). The
+Spark-native continuous form is a file-source stream over the transcripts
+directory with the identical batch DAG applied per micro-batch:
+
+    readStream (file source, maxFilesPerTrigger)
+      → foreachBatch(batch_df -> filter chain → enrich → route → writes)
+
+Design points:
+- the batch functions are reused UNCHANGED — `foreachBatch` hands us a
+  plain DataFrame, so grok/patch/enrich/router need no streaming variants;
+- the checkpointLocation supersedes the batch manifest for resume (Spark's
+  file-source log tracks processed files exactly like our manifest does);
+- event-time windowed aggregates with late data would use
+  `withWatermark("ts", ...)` + `window(ts, ...)` *inside* the streaming DAG
+  instead of foreachBatch; the reference has no late-data semantics
+  (SURVEY.md §2.10), so per-batch counts match its behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from logspark.config import PipelineConfig
+from logspark.operators.aggregates import sink_counts
+from logspark.operators.enrich import apply_enrich_chain
+from logspark.operators.filters import apply_filter_chain
+from logspark.operators.router import route
+
+TRANSCRIPTS_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    input_dir: str,
+    sink_root: str,
+    checkpoint_dir: str,
+    dims: dict[str, DataFrame] | None = None,
+    max_files_per_trigger: int = 8,
+    available_now: bool = True,
+):
+    """Returns the started StreamingQuery. With available_now=True the query
+    drains everything currently in input_dir and stops — the testable mode;
+    False tails forever like the reference agent."""
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = apply_filter_chain(batch_df, cfg.filter)
+        if cfg.enrich:
+            parsed = apply_enrich_chain(parsed, cfg.enrich, dims or {})
+        routed = route(parsed, cfg.output)
+        routed.persist()
+        try:
+            routed.write.mode("append").partitionBy("sink").parquet(f"{sink_root}/routed")
+            sink_counts(routed, bucket=cfg.aggregate.get("bucket", "hour")).write.mode(
+                "append"
+            ).parquet(f"{sink_root}/sink_counts")
+        finally:
+            routed.unpersist()
+
+    writer = src.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,146 @@
+"""Property-based invariants (SURVEY.md §5.2 layer 4, hypothesis).
+
+Pure-Python properties run per-example; Spark properties run on a handful
+of drawn corpora (Spark jobs are too slow for per-example execution, so we
+draw row batches and assert set-level invariants in one pass).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from logspark.grok import GrokCompiler, compile_grok
+
+# ---------------------------------------------------------------------------
+# grok compiler properties (no Spark)
+# ---------------------------------------------------------------------------
+
+_TOOL_PAT = (
+    r"tool=%{WORD:tool} lat=%{INT:lat:int} ok=%{WORD:ok}"
+)
+
+text_lines = st.one_of(
+    st.builds(
+        "tool={} lat={} ok={}".format,
+        st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True),
+        st.integers(-10**9, 10**9),
+        st.sampled_from(["yes", "no"]),
+    ),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+        max_size=80,
+    ),
+)
+
+
+@given(st.lists(text_lines, min_size=1, max_size=60))
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_vectorized_extract_equals_scalar_match(lines):
+    """extract_pandas over a batch ≡ GrokPattern.match row-by-row."""
+    cg = compile_grok([_TOOL_PAT])
+    pat = cg.patterns[0]
+    out = cg.extract_pandas(pd.Series(lines, dtype="object"))
+    for i, line in enumerate(lines):
+        scalar = pat.match(line)
+        assert bool(out["_grok_matched"].iloc[i]) == (scalar is not None)
+        if scalar is not None:
+            assert out["tool"].iloc[i] == scalar["tool"]
+            lat = out["lat"].iloc[i]
+            assert (pd.isna(lat) and scalar["lat"] is None) or int(lat) == scalar["lat"]
+
+
+@given(st.lists(text_lines, min_size=1, max_size=40))
+@settings(max_examples=40, deadline=None)
+def test_matched_xor_failure(lines):
+    """Every line either matches or would receive the failure tag — never
+    both, never neither (matched ⊕ _grokparsefailure invariant)."""
+    cg = compile_grok([_TOOL_PAT])
+    out = cg.extract_pandas(pd.Series(lines, dtype="object"))
+    for i, line in enumerate(lines):
+        anchored = re.match(cg.patterns[0].regex, line)
+        assert bool(out["_grok_matched"].iloc[i]) == bool(anchored)
+
+
+@given(
+    st.lists(
+        st.from_regex(r"[a-z]{1,8}", fullmatch=True), min_size=1, max_size=8, unique=True
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_custom_library_roundtrip(words):
+    """Any custom pattern name resolves and captures its own definition."""
+    lib = {f"W{i}": re.escape(w) for i, w in enumerate(words)}
+    c = GrokCompiler(lib)
+    pattern = " ".join(f"%{{W{i}:f{i}}}" for i in range(len(words)))
+    g = c.compile(pattern)
+    got = g.match(" ".join(words))
+    assert got == {f"f{i}": w for i, w in enumerate(words)}
+
+
+# ---------------------------------------------------------------------------
+# template compiler properties (Spark, batched corpora)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view", "error"]),
+            st.integers(0, 10**6),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_template_compiler_vs_python_format(spark, rows):
+    from logspark.functions.templates import compile_template
+
+    pdf = pd.DataFrame(rows, columns=["event_type", "user_id"])
+    pdf["ts"] = pd.Timestamp("2024-02-03 04:05:06")
+    df = spark.createDataFrame(pdf)
+    out = df.withColumn(
+        "s", compile_template("%{event_type}#%{user_id}@%{+yyyy-MM-dd}|%{missing}", df)
+    ).collect()
+    for r in out:
+        assert r["s"] == f"{r['event_type']}#{r['user_id']}@2024-02-03|%{{missing}}"
+
+
+# ---------------------------------------------------------------------------
+# pipeline invariants on drawn corpora (single Spark pass per example set)
+# ---------------------------------------------------------------------------
+
+
+def test_routing_invariants_on_random_corpus(spark, transcripts, dims):
+    """Input rows == parse successes + failures; every routed row's text is
+    byte-identical to its input row's text (per-turn text equality)."""
+    import pyspark.sql.functions as F
+
+    from logspark.config import canonical_config
+    from logspark.operators.enrich import apply_enrich_chain
+    from logspark.operators.filters import apply_filter_chain
+    from logspark.operators.router import route
+
+    cfg = canonical_config()
+    parsed = apply_filter_chain(transcripts, cfg.filter)
+    parsed = apply_enrich_chain(parsed, cfg.enrich, dims)
+    routed = route(parsed, cfg.output).cache()
+
+    n = transcripts.count()
+    fail = parsed.filter(F.array_contains("tags", "_grokparsefailure")).count()
+    ok = parsed.filter(F.array_contains("tags", "parsed")).count()
+    assert ok + fail == n
+
+    # text passthrough on EVERY sink
+    orig = transcripts.select("conv_id", "turn_idx", F.col("text").alias("t0"))
+    bad = (
+        routed.join(orig, ["conv_id", "turn_idx"])
+        .filter(F.col("text") != F.col("t0"))
+        .count()
+    )
+    assert bad == 0
+    routed.unpersist()

@@ -1,0 +1,137 @@
+"""Skew handling (SURVEY.md §4), streaming wrapper (§2.10), CLI, manifest."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from logspark.config import canonical_config
+from logspark.datagen import synth_transcripts
+from logspark.operators import skew
+from logspark.operators.aggregates import sink_counts
+from logspark.operators.filters import apply_filter_chain
+from logspark.operators.router import route
+from logspark.sources import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def routed(spark, transcripts):
+    cfg = canonical_config()
+    parsed = apply_filter_chain(transcripts, cfg.filter)
+    return route(parsed, cfg.output).cache()
+
+
+def test_hot_key_detection(spark):
+    # 20k turns: the Zipf-ish mixture plants hot convs (~700 turns ≈ 3.7%)
+    n = 20000
+    df = spark.createDataFrame(synth_transcripts(np.arange(n), n))
+    hot = skew.hot_keys(df, "conv_id", threshold=0.02, sample_fraction=None)
+    assert len(hot) >= 1
+    counts = dict(df.groupBy("conv_id").count().collect())
+    for k in hot:
+        assert counts[k] > n * 0.02
+
+
+def test_salted_counts_equal_plain(spark, routed):
+    plain = sink_counts(routed).orderBy("sink", "conv_id", "bucket").collect()
+    salted = skew.salted_sink_counts(routed, n_salts=8).orderBy("sink", "conv_id", "bucket").collect()
+    assert plain == salted
+
+
+def test_salted_counts_only_hot(spark, routed):
+    hot = skew.hot_keys(routed, "conv_id", threshold=0.02, sample_fraction=None)
+    plain = sink_counts(routed).orderBy("sink", "conv_id", "bucket").collect()
+    salted = (
+        skew.salted_sink_counts(routed, n_salts=8, only_hot=hot)
+        .orderBy("sink", "conv_id", "bucket")
+        .collect()
+    )
+    assert plain == salted
+
+
+def test_streaming_matches_batch(spark, tmp_path, dims):
+    from logspark.streaming import stream_pipeline
+
+    n = 3000
+    pdf = synth_transcripts(np.arange(n), n)
+    in_dir = str(tmp_path / "in" / "transcripts.parquet")
+    # several files → several micro-batches with maxFilesPerTrigger=2
+    spark.createDataFrame(pdf).repartition(6).write.parquet(in_dir)
+
+    cfg = canonical_config()
+    sink_root = str(tmp_path / "out")
+    q = stream_pipeline(
+        spark, cfg, in_dir, sink_root, str(tmp_path / "ckpt"),
+        dims=dims, max_files_per_trigger=2, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    routed_stream = spark.read.parquet(f"{sink_root}/routed")
+    # batch reference
+    parsed = apply_filter_chain(spark.createDataFrame(pdf), cfg.filter)
+    from logspark.operators.enrich import apply_enrich_chain
+
+    parsed = apply_enrich_chain(parsed, cfg.enrich, dims)
+    routed_batch = route(parsed, cfg.output)
+    assert routed_stream.count() == routed_batch.count()
+    a = routed_stream.groupBy("sink").count().orderBy("sink").collect()
+    b = routed_batch.groupBy("sink").count().orderBy("sink").collect()
+    assert a == b
+    # per-sink aggregated counts equal too (appended per micro-batch → sum)
+    cs = (
+        spark.read.parquet(f"{sink_root}/sink_counts")
+        .groupBy("sink", "conv_id", "bucket").agg(F.sum("n").alias("n"))
+        .orderBy("sink", "conv_id", "bucket").collect()
+    )
+    cb = sink_counts(routed_batch).orderBy("sink", "conv_id", "bucket").collect()
+    assert cs == cb
+
+
+def test_manifest_roundtrip(tmp_path):
+    root = str(tmp_path)
+    m = mf.load_manifest(root)
+    assert m.runs == []
+    mf.commit_run(root, mf.RunRecord(run_id="a", input_files=["f1", "f2"], sink_counts={"x": 5}))
+    mf.commit_run(root, mf.RunRecord(run_id="b", input_files=["f3"]))
+    m = mf.load_manifest(root)
+    assert m.processed_files == {"f1", "f2", "f3"}
+    assert mf.pending_files(["f1", "f4"], m) == ["f4"]
+    # same run_id replaces, not duplicates
+    mf.commit_run(root, mf.RunRecord(run_id="b", input_files=["f3", "f5"]))
+    m = mf.load_manifest(root)
+    assert len(m.runs) == 2 and m.processed_files == {"f1", "f2", "f3", "f5"}
+
+
+def test_cli_end_to_end(tmp_path):
+    n = 1500
+    pdf = synth_transcripts(np.arange(n), n)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pdf.to_parquet(
+        in_dir / "transcripts.parquet",
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    cfg_path = tmp_path / "pipeline.json"
+    cfg = canonical_config()
+    cfg_path.write_text(json.dumps(
+        {"input": cfg.input, "filter": cfg.filter, "enrich": cfg.enrich,
+         "output": cfg.output, "aggregate": cfg.aggregate}
+    ))
+    env = dict(os.environ, PYTHONPATH="/root/repo", SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "-m", "logspark", "--config", str(cfg_path),
+         "--input-dir", str(in_dir), "--sink-root", str(tmp_path / "out"),
+         "--run-id", "cli1"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["run_id"] == "cli1"
+    assert out["sink_rows"]["parsed"] > 0 and out["sink_rows"]["raw"] > 0
+    assert out["metrics"]["rows_in"] == n
