@@ -78,6 +78,53 @@ def extract_features(df: DataFrame, fake: bool = True, frame_stride: int = 1000)
     return df.mapInPandas(gen, schema=FEATURE_SCHEMA_DDL)
 
 
+RESIZED_SCHEMA_DDL = (
+    "media_id bigint, media_type string, content binary, width int, height int"
+)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int, fake: bool = True) -> DataFrame:
+    """Resize image rows to (target_w, target_h); non-image rows pass through
+    untouched. Same mapInPandas batch shape as extract_features.
+
+    Real path: PIL decode → resize → re-encode (NotImplementedError here —
+    no codec libs in this container). Fake path: deterministic nearest-
+    neighbor resample of the raw byte signal to target_w*target_h bytes, so
+    tests pin the plumbing (schema, pass-through, batch shape) exactly.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_content, out_w, out_h = [], [], []
+            for content, mtype, w, h in zip(
+                pdf["content"], pdf["media_type"], pdf["width"], pdf["height"]
+            ):
+                if not str(mtype).startswith("image/"):
+                    out_content.append(content)
+                    out_w.append(w)
+                    out_h.append(h)
+                    continue
+                if not fake:
+                    _decode_real(bytes(content), str(mtype))
+                src = np.frombuffer(bytes(content), dtype=np.uint8)
+                n_out = target_w * target_h
+                idx = (np.arange(n_out) * max(len(src), 1) // n_out) % max(len(src), 1)
+                out_content.append(bytes(src[idx])) if len(src) else out_content.append(b"")
+                out_w.append(target_w)
+                out_h.append(target_h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": out_content,
+                    "width": pd.Series(out_w, dtype="int32"),
+                    "height": pd.Series(out_h, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(gen, schema=RESIZED_SCHEMA_DDL)
+
+
 def synth_media_df(spark, n: int = 64):
     """Deterministic fake media table (binary payloads derived from ids)."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -102,6 +102,21 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm))
 
 
+# BPE-ish pre-tokenizer regex: word runs, digit runs, single non-space
+# punctuation — the GPT-2-style split shape, kept to a portable subset that
+# Java regex (Spark) and RE2 (DuckDB) evaluate identically.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count under the BPE-ish regex (vs whitespace n_tokens). Native
+    regexp_extract_all — JVM-side, no Python."""
+    return df.withColumn(
+        "n_tokens_bpe",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).cast("long"),
+    )
+
+
 SIMHASH_BITS = 60  # md5-15-hex portable hash gives 60 usable bits
 
 

@@ -194,6 +194,20 @@ FROM (
 )
 """
 
+DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+# same portable regex subset as textops.BPE_TOKEN_RE (Java regex == RE2 here)
+TOKEN_COUNT_BPE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+       AS n_tokens_bpe
+FROM documents
+"""
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -352,6 +366,8 @@ ORACLES: dict[str, str] = {
     "token_stats": TOKEN_STATS,
     "quality_scores": QUALITY_SCORES,
     "lang_id": LANG_ID,
+    "doc_fingerprint": DOC_FINGERPRINT,
+    "token_count_bpe": TOKEN_COUNT_BPE,
     "dedup_exact": DEDUP_EXACT,
     "minhash_signatures": MINHASH_SIGNATURES,
     "lsh_candidates": LSH_CANDIDATES,

@@ -286,6 +286,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.with_lang_guess(docs).select("doc_id", "lang_guess")
 
 
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.with_bpe_token_count(docs).select("doc_id", "n_tokens_bpe")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs)
@@ -354,6 +364,8 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_count_bpe": q_token_count_bpe,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,

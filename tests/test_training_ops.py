@@ -136,3 +136,19 @@ def test_multimodal_real_decoder_gated(spark):
     media = multimodal.synth_media_df(spark, 3)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         multimodal.extract_features(media, fake=False).collect()
+
+
+def test_multimodal_resize(spark):
+    media = multimodal.synth_media_df(spark, 30)
+    resized = multimodal.resize_images(media, target_w=8, target_h=4, fake=True)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert len(rows) == 30
+    for mid, r in rows.items():
+        if r["media_type"].startswith("image/"):
+            assert (r["width"], r["height"]) == (8, 4)
+            assert len(r["content"]) == 8 * 4
+        else:  # pass-through
+            assert (r["width"], r["height"]) == (0, 0) or r["height"] == 0
+    # deterministic resample
+    again = {r["media_id"]: bytes(r["content"]) for r in resized.collect()}
+    assert all(bytes(rows[m]["content"]) == c for m, c in again.items())
