@@ -161,6 +161,9 @@ def run(
             input_files=files,
             sink_counts=result.sink_rows,
             metrics=result.metrics,
+            partition_lineage={
+                s: os.path.join(routed_path, f"sink={s}") for s in result.sink_rows
+            },
         ),
     )
     return result

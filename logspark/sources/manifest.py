@@ -32,6 +32,9 @@ class RunRecord:
     snapshot_id: int | None = None  # Iceberg path
     sink_counts: dict[str, int] = field(default_factory=dict)
     metrics: dict[str, float] = field(default_factory=dict)
+    # per-partition lineage: physical sink partition dir → produced by this
+    # run from exactly `input_files` (sink=X dirs under runs/<run_id>/routed)
+    partition_lineage: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
