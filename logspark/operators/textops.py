@@ -120,33 +120,57 @@ def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 SIMHASH_BITS = 60  # md5-15-hex portable hash gives 60 usable bits
 
 
-def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """60-bit SimHash over whitespace tokens, fully native:
+def _simhash_from_hashes(s):
+    """Arrow batch of array<bigint> token hashes → int64 simhash.
 
-        token_hashes = transform(tokens, t -> portable_hash60(t))
+    Fully vectorized: flatten every batch's token hashes into one uint64
+    vector, unpack to a (T, 60) bit matrix, segment-sum per row
+    (np.add.reduceat), majority-threshold, repack. No per-row Python.
+    """
+    import numpy as np  # local: runs on executor workers
+    import pandas as pd
+
+    n = len(s)
+    lengths = np.fromiter((0 if v is None else len(v) for v in s), dtype=np.int64, count=n)
+    total = int(lengths.sum())
+    out = np.zeros(n, dtype=np.int64)
+    if total == 0:
+        return pd.Series(out)
+    flat = np.fromiter(
+        (int(h) for v in s if v is not None for h in v), dtype=np.uint64, count=total
+    )
+    bits = ((flat[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )
+    nonempty = lengths > 0
+    starts = np.concatenate(([0], np.cumsum(lengths)))[:-1][nonempty]
+    ones = np.add.reduceat(bits, starts, axis=0)  # (rows_nonempty, 60)
+    # majority: sum_t(+1/-1) > 0  ⟺  2*ones > n_tokens (ties → bit 0)
+    maj = (2 * ones) > lengths[nonempty, None]
+    weights = (np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)).astype(np.int64)
+    out[nonempty] = maj @ weights
+    return pd.Series(out)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over whitespace tokens.
+
+        token_hashes = transform(tokens, t -> portable_hash60(t))   # JVM md5
         bit_j        = sign( sum_t (+1 if bit j of hash(t) else -1) )
         simhash      = sum_j (bit_j << j)
 
-    One projection, no shuffle, no Python — and reproducible in DuckDB SQL
-    for the oracle. Near-dup candidates then band on bit ranges (see
-    dedup.simhash_bands)."""
+    Token hashing stays native (JVM md5 + conv — codegen'd, the expensive
+    part); the 60-bit majority fold runs as ONE Arrow-batched numpy kernel.
+    A fully-native version (60 nested aggregate() folds) was 10x slower at
+    sf0.1 (19.3 s → 1.9 s): Catalyst evaluates tokens x 60 interpreted
+    lambda steps, numpy does one (T, 60) matrix pass. Values are identical
+    and reproducible in DuckDB SQL for the oracle. Near-dup candidates then
+    band on bit ranges (see dedup.simhash_bands)."""
+    from pyspark.sql.pandas.functions import PandasUDFType
+
     toks = tokens(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"))
-    # 2^j as a column (powers of two are exact in float64 up to 2^59)
-    pow2 = lambda j: F.pow(F.lit(2.0), j.cast("double")).cast("long")
-    bit_cols = F.transform(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        lambda j: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(pow2(j)) != 0, 1).otherwise(-1),
-            )
-            > 0,
-            pow2(j),
-        ).otherwise(F.lit(0).cast("long")),
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
     )
-    return df.withColumn(
-        "simhash", F.aggregate(bit_cols, F.lit(0).cast("long"), lambda acc, b: acc + b)
-    )
+    udf = F.pandas_udf(_simhash_from_hashes, "long", PandasUDFType.SCALAR)
+    return df.withColumn("simhash", udf(hashes))
