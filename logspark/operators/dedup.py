@@ -72,6 +72,68 @@ def _minhash_coeffs(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return coeffs
 
 
+def _make_minhash_kernel(coeffs: list[tuple[int, int]], k: int):
+    """Arrow batch of text → one column per minhash (null if < k tokens).
+
+    The whole shingle→hash→min pipeline runs here, Arrow-batched:
+    - k-gram shingling + dedup in plain Python (split/join — C-speed),
+      with a per-batch md5 memo (shingles repeat heavily across docs);
+    - every (a*h + b) mod p affine map applied to the batch's flattened
+      hash vector at once in numpy, segment-min per doc via
+      np.minimum.reduceat. a, b, h < 2^31 so a*h + b < 2^62 — exact int64.
+
+    Doing shingling/md5 JVM-side was measured SLOWER: element-wise lambdas
+    (transform / aggregate) are interpreted, not codegen'd, and the md5 →
+    substring → conv chain per shingle costs ~6 µs interpreted vs ~1 µs
+    here (BENCH/NOTES.md fix 7)."""
+
+    def kernel(s):
+        import hashlib
+        import numpy as np
+        import pandas as pd
+
+        n = len(s)
+        memo: dict[str, int] = {}
+
+        def h60(sh: str) -> int:
+            v = memo.get(sh)
+            if v is None:
+                v = int(hashlib.md5(sh.encode()).hexdigest()[:15], 16) % MERSENNE_P
+                memo[sh] = v
+            return v
+
+        flat: list[int] = []
+        lengths = np.zeros(n, dtype=np.int64)
+        for j, text in enumerate(s):
+            if text is None:
+                continue
+            toks = text.split(" ")
+            if len(toks) < k:
+                continue
+            grams = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+            lengths[j] = len(grams)
+            flat.extend(h60(g) for g in grams)
+
+        nonempty = lengths > 0
+        cols = {}
+        if not flat:
+            for i in range(len(coeffs)):
+                cols[f"mh_{i}"] = pd.Series([pd.NA] * n, dtype="Int64")
+            return pd.DataFrame(cols)
+        fv = np.asarray(flat, dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(lengths)))[:-1][nonempty]
+        for i, (a, b) in enumerate(coeffs):
+            mins = np.minimum.reduceat((fv * a + b) % MERSENNE_P, starts)
+            col = np.zeros(n, dtype=np.int64)
+            col[nonempty] = mins
+            out = pd.Series(col, dtype="Int64")
+            out[~nonempty] = pd.NA
+            cols[f"mh_{i}"] = out
+        return pd.DataFrame(cols)
+
+    return kernel
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -79,16 +141,25 @@ def minhash_signatures(
     n_hashes: int = 16,
     k: int = 3,
 ) -> DataFrame:
-    """(id, mh_0 … mh_{n-1}): one shuffle — explode shingles, then ALL n
-    minhashes as n min() aggregates over (a_i * h(shingle) + b_i) mod p."""
-    sh = shingles(df, id_col, text_col, k)
-    h = (portable_hash60(F.col("shingle")) % MERSENNE_P).alias("h")
-    sh = sh.select(id_col, h)
-    aggs = [
-        F.min((F.col("h") * a + b) % MERSENNE_P).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_minhash_coeffs(n_hashes))
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    """(id, mh_0 … mh_{n-1}) — ZERO shuffle.
+
+    A doc's shingles all live in its own row, so signatures are a narrow
+    map: one Arrow-batched kernel per batch of texts (see
+    _make_minhash_kernel). The previous explode+groupBy form shuffled every
+    (doc, shingle) pair — at 100 TB that shuffle dwarfs the hashing. Docs
+    with < k words have no shingles and are dropped (matching the explode
+    form and the DuckDB oracle)."""
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    coeffs = _minhash_coeffs(n_hashes)
+    schema = ", ".join(f"mh_{i} bigint" for i in range(n_hashes))
+    udf = F.pandas_udf(_make_minhash_kernel(coeffs, k), schema, PandasUDFType.SCALAR)
+    out = df.select(F.col(id_col), udf(F.col(text_col)).alias("_mh")).filter(
+        F.col("_mh").getField("mh_0").isNotNull()
+    )
+    for i in range(n_hashes):
+        out = out.withColumn(f"mh_{i}", F.col("_mh").getField(f"mh_{i}"))
+    return out.drop("_mh")
 
 
 def lsh_candidates(
