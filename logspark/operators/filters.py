@@ -198,17 +198,33 @@ def json_filter(df: DataFrame, cfg: dict) -> DataFrame:
     source = cfg.get("source", "text")
     failure_tag = cfg.get("failure_tag", JSON_FAILURE_TAG)
     if cfg.get("schema"):
-        df = df.withColumn("_j", F.from_json(F.col(source), cfg["schema"]))
-        parsed_fields = df.schema["_j"].dataType.fieldNames()
+        # PERMISSIVE from_json yields a struct of nulls (not a null struct)
+        # on malformed input, so struct-null is NOT a failure signal; a
+        # corrupt-record field is the precise one.
+        df = df.withColumn(
+            "_j",
+            F.from_json(
+                F.col(source),
+                cfg["schema"] + ", _corrupt string",
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+            ),
+        )
+        parsed_fields = [
+            n for n in df.schema["_j"].dataType.fieldNames() if n != "_corrupt"
+        ]
         for name in parsed_fields:
             df = df.withColumn(name, F.col("_j").getField(name))
-        ok = F.col("_j").isNotNull()
-        df = df.drop("_j")
-    else:
-        target = cfg.get("target", "json_map")
-        df = df.withColumn(target, F.from_json(F.col(source), "map<string,string>"))
-        ok = F.col(target).isNotNull()
+        ok = F.col("_j").isNotNull() & F.col("_j").getField("_corrupt").isNull()
+        if cfg.get("tag_on_failure", True):  # tag while _j is still resolvable
+            df = df.withColumn(
+                "tags",
+                F.when(ok, F.col("tags")).otherwise(add_tags(F.col("tags"), [failure_tag])),
+            )
+        return df.drop("_j")
+    target = cfg.get("target", "json_map")
+    df = df.withColumn(target, F.from_json(F.col(source), "map<string,string>"))
     if cfg.get("tag_on_failure", True):
+        ok = F.col(target).isNotNull()
         df = df.withColumn(
             "tags",
             F.when(ok, F.col("tags")).otherwise(add_tags(F.col("tags"), [failure_tag])),

@@ -128,3 +128,19 @@ def test_unknown_filter_type_raises(spark, transcripts):
     )
     with pytest.raises(ValueError, match="unknown filter type"):
         pipeline.build(spark, cfg, df=transcripts)
+
+
+def test_json_filter_schema_with_failure_tag(spark):
+    """Regression: schema-promoted json codec + tag_on_failure used to
+    reference the dropped _j column (unresolved-column error)."""
+    from logspark.operators.filters import apply_filter_chain
+
+    df = spark.createDataFrame(
+        [("a", '{"k": 5}'), ("b", "not json")], "id string, text string"
+    )
+    out = apply_filter_chain(
+        df, [{"type": "json", "source": "text", "schema": "k bigint", "tag_on_failure": True}]
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["a"]["k"] == 5 and list(rows["a"]["tags"]) == []
+    assert rows["b"]["k"] is None and "_jsonparsefailure" in list(rows["b"]["tags"])
