@@ -198,24 +198,25 @@ def json_filter(df: DataFrame, cfg: dict) -> DataFrame:
     source = cfg.get("source", "text")
     failure_tag = cfg.get("failure_tag", JSON_FAILURE_TAG)
     if cfg.get("schema"):
+        tag_on_failure = cfg.get("tag_on_failure", True)
         # PERMISSIVE from_json yields a struct of nulls (not a null struct)
         # on malformed input, so struct-null is NOT a failure signal; a
-        # corrupt-record field is the precise one.
-        df = df.withColumn(
-            "_j",
-            F.from_json(
-                F.col(source),
-                cfg["schema"] + ", _corrupt string",
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
-            ),
+        # corrupt-record field is the precise one. It retains the raw text
+        # per failed row, so it is only added when failure tagging is on.
+        schema = cfg["schema"] + (", _corrupt string" if tag_on_failure else "")
+        opts = (
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+            if tag_on_failure
+            else {}
         )
+        df = df.withColumn("_j", F.from_json(F.col(source), schema, opts))
         parsed_fields = [
             n for n in df.schema["_j"].dataType.fieldNames() if n != "_corrupt"
         ]
         for name in parsed_fields:
             df = df.withColumn(name, F.col("_j").getField(name))
-        ok = F.col("_j").isNotNull() & F.col("_j").getField("_corrupt").isNull()
-        if cfg.get("tag_on_failure", True):  # tag while _j is still resolvable
+        if tag_on_failure:  # tag while _j is still resolvable
+            ok = F.col("_j").isNotNull() & F.col("_j").getField("_corrupt").isNull()
             df = df.withColumn(
                 "tags",
                 F.when(ok, F.col("tags")).otherwise(add_tags(F.col("tags"), [failure_tag])),
