@@ -348,6 +348,8 @@ WHERE {_cos('va', 'vb')} >= 0.8
 
 ORACLES: dict[str, str] = {
     "pipeline_sink_counts": PIPELINE_SINK_COUNTS,
+    # salted two-phase variant must produce value-identical counts
+    "pipeline_sink_counts_salted": PIPELINE_SINK_COUNTS,
     "pipeline_routed_rows": PIPELINE_ROUTED_ROWS,
     "grok_typed_capture": GROK_TYPED_CAPTURE,
     "grok_failure_tag": GROK_FAILURE_TAG,

@@ -105,6 +105,19 @@ def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink_counts(routed, bucket="hour")
 
 
+def q_pipeline_sink_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened two-phase (salted) variant of the per-sink counts —
+    value-identical to q_pipeline_sink_counts (same DuckDB oracle), shown
+    separately so the salted path is under the correctness gate too."""
+    from logspark.operators.skew import salted_sink_counts
+
+    ensure_workers(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    parsed = apply_filter_chain(t, FLAGSHIP_FILTERS)
+    routed = route(parsed, FLAGSHIP_SINKS)
+    return salted_sink_counts(routed, bucket="hour", n_salts=8)
+
+
 def q_pipeline_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routed-row equality surface: (sink, conv_id, turn_idx, text)."""
     ensure_workers(spark)
@@ -346,6 +359,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "pipeline_sink_counts": q_pipeline_sink_counts,
+    "pipeline_sink_counts_salted": q_pipeline_sink_counts_salted,
     "pipeline_routed_rows": q_pipeline_routed_rows,
     "grok_typed_capture": q_grok_typed_capture,
     "grok_failure_tag": q_grok_failure_tag,
