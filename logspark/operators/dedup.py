@@ -24,10 +24,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from logspark.operators.textops import portable_hash60
 
 MERSENNE_P = 2147483647  # 2^31 - 1; (p-1)^2 < 2^62 so a*h+b stays in int64
+
+
+def cap_buckets(
+    banded: DataFrame, max_bucket: int | None, keys: tuple[str, ...] = ("band", "key")
+) -> DataFrame:
+    """Oversized-bucket defense for banded self-joins (the classic LSH
+    scale-killer): one degenerate band key — boilerplate docs, empty-ish
+    texts sharing a signature band — makes a single bucket contribute
+    O(bucket²) pairs and pins one reducer. Buckets larger than `max_bucket`
+    are dropped entirely (their members are by construction *low-information*
+    near-identical cliques; a capped system logs and handles them with exact
+    dedup instead). The windowed count shuffles on the same (band, key) the
+    self-join needs, so no extra exchange shape is introduced."""
+    if max_bucket is None:
+        return banded
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -167,9 +189,13 @@ def lsh_candidates(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join: pairs (a, b), a < b, that agree on
-    at least one full band. Never materializes the n^2 pair space."""
+    at least one full band. Never materializes the n^2 pair space.
+    `max_bucket` drops degenerate buckets before the self-join — at 100 TB
+    this MUST be set (see cap_buckets); unset preserves exact recall for
+    small corpora and the uncapped oracle."""
     rows_per_band = n_hashes // bands
     band_entries = F.array(
         *[
@@ -183,6 +209,7 @@ def lsh_candidates(
     banded = sigs.select(F.col(id_col), F.explode(band_entries).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    banded = cap_buckets(banded, max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -233,16 +260,23 @@ def simhash_bands(
     df: DataFrame,
     id_col: str = "doc_id",
     n_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs whose 60-bit simhash agrees on ≥1 of n_bands 15-bit
     chunks (Hamming distance ≤ n_bands-1 guaranteed found). Input must carry
-    a `simhash` column (textops.with_simhash)."""
+    a `simhash` column (textops.with_simhash).
+
+    Band keys are extracted with INTEGER bit ops (shiftrightunsigned + AND):
+    long/long division in Spark promotes to double, and 60-bit simhashes
+    exceed double's 53-bit mantissa, so a float-division chunk silently
+    corrupts low-band keys and loses the Hamming recall guarantee."""
     width = 60 // n_bands
-    chunk = lambda i: (F.col("simhash") / F.pow(F.lit(2.0), F.lit(float(i * width))).cast("long")).cast("long") % (2**width)
+    chunk = lambda i: F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(2**width - 1)
     entries = F.array(*[F.struct(F.lit(i).alias("band"), chunk(i).alias("key")) for i in range(n_bands)])
     banded = df.select(F.col(id_col), F.explode(entries).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    banded = cap_buckets(banded, max_bucket)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(r, ["band", "key"])

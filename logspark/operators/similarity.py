@@ -109,11 +109,18 @@ def embedding_near_dups(
     n_anchors: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a, b, sim ≥ threshold) via
-    bucket self-join — the ANN analogue of LSH dedup."""
+    bucket self-join — the ANN analogue of LSH dedup. `max_bucket` drops
+    degenerate sign-bit buckets before the quadratic self-join (see
+    dedup.cap_buckets) — mandatory at scale, optional for exact recall on
+    small corpora."""
+    from logspark.operators.dedup import cap_buckets
+
     anchors = df.orderBy(id_col).limit(n_anchors)
     b = signbit_bucket(df, anchors, id_col, vec_col)
+    b = cap_buckets(b, max_bucket, keys=("bucket",))
     l = b.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va"), "bucket")
     r = b.select(F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb"), "bucket")
     return (

@@ -247,7 +247,10 @@ def _minhash_select() -> str:
 MINHASH_SIGNATURES = _minhash_select()
 
 
-def _lsh_select() -> str:
+def _lsh_ctes(max_bucket: int | None = None) -> str:
+    """CTE chain `sigs` → `bands` → `cand` (the minhash-LSH candidate pairs),
+    for composition into several oracle queries. `max_bucket` mirrors
+    dedup.cap_buckets: QUALIFY drops degenerate (band, key) buckets."""
     band_selects = []
     for band in range(4):
         key = " || '_' || ".join(
@@ -255,14 +258,27 @@ def _lsh_select() -> str:
         )
         band_selects.append(f"SELECT doc_id, {band} AS band, {key} AS key FROM sigs")
     bands = "\n  UNION ALL\n  ".join(band_selects)
+    qualify = (
+        f"\n  QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= {max_bucket}"
+        if max_bucket is not None
+        else ""
+    )
     return (
-        f"WITH sigs AS (\n{MINHASH_SIGNATURES}\n), bands AS (\n  {bands}\n)\n"
-        "SELECT DISTINCT l.doc_id AS a, r.doc_id AS b\n"
-        "FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id"
+        f"sigs AS (\n{MINHASH_SIGNATURES}\n), bands_raw AS (\n  {bands}\n),\n"
+        f"bands AS (\n  SELECT * FROM bands_raw{qualify}\n),\n"
+        "cand AS (\n"
+        "  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b\n"
+        "  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id\n"
+        ")"
     )
 
 
+def _lsh_select(max_bucket: int | None = None) -> str:
+    return f"WITH {_lsh_ctes(max_bucket)}\nSELECT a, b FROM cand"
+
+
 LSH_CANDIDATES = _lsh_select()
+LSH_CANDIDATES_CAPPED = _lsh_select(max_bucket=20)
 
 NGRAM_JACCARD = (
     _SHINGLES_CTE
@@ -281,6 +297,28 @@ WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
 """
 )
 
+# the scale path: exact Jaccard verified ONLY on LSH candidate pairs —
+# the quadratic shared-shingle pair space is never the driver of cost
+NGRAM_JACCARD_VERIFIED = (
+    _SHINGLES_CTE
+    + ",\n"
+    + _lsh_ctes(max_bucket=20)
+    + """,
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+v AS (SELECT i.* FROM inter i JOIN cand c ON i.a = c.a AND i.b = c.b)
+SELECT a, b, round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM v
+JOIN sz sa ON sa.doc_id = a
+JOIN sz sb ON sb.doc_id = b
+WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
+"""
+)
+
 SIMHASH = f"""
 SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
          CASE WHEN list_sum(list_transform(hs,
@@ -289,6 +327,19 @@ SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
 FROM (SELECT doc_id,
              list_transform(string_split(text, ' '), t -> {H60.format(s='t')}) AS hs
       FROM documents)
+"""
+
+# simhash banding: INTEGER bit ops ((h >> shift) & mask) in both engines —
+# float division corrupts keys past double's 53-bit mantissa
+SIMHASH_BANDS = f"""
+WITH s AS ({SIMHASH}),
+b AS (
+  SELECT doc_id, g.band, (simhash >> (g.band * 15)) & 32767 AS key
+  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) g
+  QUALIFY COUNT(*) OVER (PARTITION BY g.band, (simhash >> (g.band * 15)) & 32767) <= 100
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM b l JOIN b r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
 """
 
 # ---------------------------------------------------------------------------
@@ -373,8 +424,11 @@ ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT,
     "minhash_signatures": MINHASH_SIGNATURES,
     "lsh_candidates": LSH_CANDIDATES,
+    "lsh_candidates_capped": LSH_CANDIDATES_CAPPED,
     "ngram_jaccard": NGRAM_JACCARD,
+    "ngram_jaccard_verified": NGRAM_JACCARD_VERIFIED,
     "simhash": SIMHASH,
+    "simhash_bands": SIMHASH_BANDS,
     "embed_cosine_topk": EMBED_COSINE_TOPK,
     "embed_ann_lsh": EMBED_ANN_LSH,
     "embed_near_dups": EMBED_NEAR_DUPS,

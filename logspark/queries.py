@@ -325,14 +325,39 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidates(sigs, n_hashes=16, bands=4)
 
 
+def q_lsh_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of LSH banding: degenerate buckets (> max_bucket
+    members) dropped before the self-join, bounding pair fan-out."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_hashes=16)
+    return dedup.lsh_candidates(sigs, n_hashes=16, bands=4, max_bucket=20)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over ALL shared-shingle pairs — quadratic in bucket
+    size; small-corpus/exactness utility only. The scale path is
+    q_ngram_jaccard_verified (LSH candidates → verify)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard(docs, threshold=0.5)
+
+
+def q_ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed scale path: MinHash → LSH banding (capped buckets) →
+    exact Jaccard verify on candidates only. |verify work| = O(near-dups)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_hashes=16)
+    cand = dedup.lsh_candidates(sigs, n_hashes=16, bands=4, max_bucket=20)
+    return dedup.ngram_jaccard(docs, threshold=0.5, candidates=cand)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return textops.with_simhash(docs).select("doc_id", "simhash")
+
+
+def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_bands(textops.with_simhash(docs), n_bands=4, max_bucket=100)
 
 
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,8 +408,11 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
+    "lsh_candidates_capped": q_lsh_candidates_capped,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_verified": q_ngram_jaccard_verified,
     "simhash": q_simhash,
+    "simhash_bands": q_simhash_bands,
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_ann_lsh": q_embed_ann_lsh,
     "embed_near_dups": q_embed_near_dups,

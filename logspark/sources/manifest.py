@@ -23,6 +23,7 @@ import json
 import os
 import tempfile
 from dataclasses import asdict, dataclass, field
+from dataclasses import fields as dataclass_fields
 
 
 @dataclass
@@ -66,7 +67,12 @@ def load_manifest(sink_root: str) -> Manifest:
         return Manifest()
     with open(p) as f:
         raw = json.load(f)
-    return Manifest(runs=[RunRecord(**r) for r in raw.get("runs", [])])
+    # forward-compat: a manifest written by a newer version with extra keys
+    # must not turn every subsequent run into a TypeError resume outage
+    known = {f.name for f in dataclass_fields(RunRecord)}
+    return Manifest(
+        runs=[RunRecord(**{k: v for k, v in r.items() if k in known}) for r in raw.get("runs", [])]
+    )
 
 
 def save_manifest(sink_root: str, m: Manifest) -> None:

@@ -130,6 +130,40 @@ def test_unknown_filter_type_raises(spark, transcripts):
         pipeline.build(spark, cfg, df=transcripts)
 
 
+def test_json_prefilter_accepts_any_leading_whitespace(spark):
+    """Regression (ADVICE r1): the fast-path prefilter must not null out
+    valid JSON behind a tab/newline — semantics must equal no-prefilter."""
+    from logspark.operators.filters import apply_filter_chain
+
+    rows = [("sp", ' {"k": 1}'), ("tab", '\t{"k": 2}'), ("nl", '\n{"k": 3}'), ("bad", "x")]
+    df = spark.createDataFrame(rows, "id string, text string")
+    cfg = {"type": "json", "source": "text", "schema": "k bigint", "tag_on_failure": True}
+    fast = {r["id"]: r for r in apply_filter_chain(df, [cfg]).collect()}
+    slow = {r["id"]: r for r in apply_filter_chain(df, [{**cfg, "prefilter": False}]).collect()}
+    for i in ("sp", "tab", "nl", "bad"):
+        assert fast[i]["k"] == slow[i]["k"]
+        assert list(fast[i]["tags"]) == list(slow[i]["tags"])
+    assert fast["tab"]["k"] == 2 and fast["nl"]["k"] == 3
+
+
+def test_manifest_forward_compat_extra_keys(tmp_path):
+    """A manifest written by a future version with extra keys must load."""
+    import json as _json
+    import os as _os
+
+    from logspark.sources import manifest as mf
+
+    root = str(tmp_path / "sinks")
+    mf.commit_run(root, mf.RunRecord(run_id="r1", input_files=["f1"]))
+    p = mf.manifest_path(root)
+    raw = _json.load(open(p))
+    raw["runs"][0]["future_field"] = {"new": True}
+    _json.dump(raw, open(p, "w"))
+    m = mf.load_manifest(root)
+    assert m.runs[0].run_id == "r1" and m.processed_files == {"f1"}
+    _os.remove(p)
+
+
 def test_json_filter_schema_with_failure_tag(spark):
     """Regression: schema-promoted json codec + tag_on_failure used to
     reference the dropped _j column (unresolved-column error)."""

@@ -82,6 +82,43 @@ def test_minhash_lsh_finds_planted_near_dup(spark, docs):
     assert len(hit) == 1 and hit[0]["jaccard"] > 0.8
 
 
+def test_simhash_bands_integer_keys(spark):
+    """Two simhashes agreeing on band 0 MUST pair — the guarantee breaks if
+    band keys go through float division (60-bit values exceed double's
+    53-bit mantissa, corrupting low-band keys). Regression for ADVICE r1."""
+    common_low = 6844  # shared band-0 bits (low 15)
+    rows = [
+        (1, (1 << 59) | common_low),
+        (2, (1 << 58) | common_low),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, simhash bigint")
+    pairs = dedup.simhash_bands(df, n_bands=4).collect()
+    assert [(r["a"], r["b"]) for r in pairs] == [(1, 2)]
+
+
+def test_banded_bucket_cap_bounds_pairs(spark):
+    """Degenerate corpus: many near-identical docs land in ONE LSH bucket,
+    whose self-join is quadratic. The cap must drop it; distinct docs with
+    small buckets must survive."""
+    clones = [(i, "the same boilerplate text repeated again and again here") for i in range(100)]
+    pair = [  # exact dups → identical signatures → guaranteed same bucket
+        (1000, "a genuinely unique document about spark partitioning strategy"),
+        (1001, "a genuinely unique document about spark partitioning strategy"),
+    ]
+    docs = spark.createDataFrame(clones + pair, "doc_id bigint, text string")
+    sigs = dedup.minhash_signatures(docs, n_hashes=16)
+    uncapped = dedup.lsh_candidates(sigs, n_hashes=16, bands=4)
+    assert uncapped.count() >= 100 * 99 // 2  # the clone clique explodes
+    capped = dedup.lsh_candidates(sigs, n_hashes=16, bands=4, max_bucket=10)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert (1000, 1001) in got  # small buckets survive the cap
+    assert all(a >= 1000 for a, _ in got)  # the 100-clone bucket is gone
+    # simhash banding takes the same defense
+    sh = textops.with_simhash(docs)
+    sh_capped = dedup.simhash_bands(sh, n_bands=4, max_bucket=10)
+    assert all(r["a"] >= 1000 for r in sh_capped.collect())
+
+
 def test_ngram_jaccard_bounds(docs):
     out = dedup.ngram_jaccard(docs.limit(40))
     bad = out.filter((F.col("jaccard") <= 0) | (F.col("jaccard") > 1)).count()
