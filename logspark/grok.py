@@ -322,6 +322,213 @@ class CompiledGrok:
         return out
 
 
+# ---------------------------------------------------------------------------
+# JVM-native emission (SURVEY.md §2.2 F1 "single-capture fast path", extended
+# to any pattern whose captures are structurally guaranteed to participate)
+# ---------------------------------------------------------------------------
+#
+# The compiled Python regex is converted to a Java-compatible regex with
+# POSITIONAL groups so the Spark layer can evaluate grok entirely JVM-side:
+# `rlike` for the match bit, `regexp_extract(col, pat, gidx)` per capture,
+# `try_cast` for typed coercion — zero Python workers, whole-stage codegen.
+#
+# Eligibility is conservative. The conversion returns None (→ pandas path)
+# when Java semantics could diverge from the reference pandas path:
+# - a capture group that might NOT participate in a successful match
+#   (enclosing alternation or ?/*/{0,n} quantifier): Python yields null,
+#   Spark's regexp_extract yields '' — not equal, so those patterns stay
+#   on the pandas path;
+# - backreferences (group renumbering would break them);
+# - unescaped literal '{' that is not a {m,n} quantifier (Java rejects);
+# - Python-only (?...) constructs.
+# Known residual divergence: Java \w/\b are ASCII while Python 3's are
+# Unicode. This matches Go's RE2 (the reference engine) and every oracle
+# (DuckDB RE2), so ASCII-class behavior is the CORRECT parity target; a
+# config can force engine="pandas" for Unicode-class matching.
+
+_QUANT_RE = re.compile(r"\{\d+(?:,\d*)?\}")
+_NAMED_GROUP_RE = re.compile(r"\(\?P<(g\d+|gALL)>")
+
+
+@dataclass(frozen=True)
+class JavaCapture:
+    name: str
+    type: str  # "string" | "int" | "float"
+    gidx: int  # positional group index in the Java regex
+
+
+@dataclass
+class JavaGrokPattern:
+    regex: str
+    captures: list[JavaCapture]
+
+
+def _java_convert(py_regex: str) -> tuple[str, dict[str, int]] | None:
+    """Python regex (named semantic groups + gALL wrapper) → Java regex with
+    positional groups. Returns (java_regex, {py_group_name: java_index}) or
+    None when conversion would be unsafe."""
+    out: list[str] = []
+    gmap: dict[str, int] = {}
+    idx = 0
+    i, n = 0, len(py_regex)
+    in_class = False
+    while i < n:
+        c = py_regex[i]
+        if c == "\\":
+            if i + 1 < n and py_regex[i + 1].isdigit():
+                return None  # backreference: renumbering breaks it
+            out.append(py_regex[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            out.append(c)
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "{":
+            m = _QUANT_RE.match(py_regex, i)
+            if not m:
+                return None  # dangling literal '{': Java PatternSyntaxException
+            out.append(m.group(0))
+            i = m.end()
+            continue
+        if c == "(":
+            m = _NAMED_GROUP_RE.match(py_regex, i)
+            if m:
+                if m.group(1) == "gALL":
+                    out.append("(?:")  # wrapper not needed JVM-side
+                else:
+                    idx += 1
+                    gmap[m.group(1)] = idx
+                    out.append("(")
+                i = m.end()
+                continue
+            nxt = py_regex[i + 1 : i + 4]
+            if nxt.startswith(("?:", "?=", "?!", "?<=", "?<!")):
+                out.append(c)  # same meaning in Java
+                i += 1
+                continue
+            if nxt.startswith("?"):
+                return None  # other (?...) constructs — flags, conditionals
+            idx += 1  # plain user group: capturing in Java too, shifts indices
+            out.append(c)
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out), gmap
+
+
+def _participation(java_regex: str) -> dict[int, bool]:
+    """gidx → True iff the group is guaranteed to participate whenever the
+    whole regex matches (no enclosing alternation, no 0-repetition
+    quantifier on it or any enclosing group)."""
+    frames: list[dict] = [{"has_alt": False, "optional": False, "parent": None, "capture": None}]
+    stack = [0]
+    idx = 0
+    i, n = 0, len(java_regex)
+    in_class = False
+    while i < n:
+        c = java_regex[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            capturing = not java_regex.startswith("(?", i)
+            if capturing:
+                idx += 1
+            frames.append(
+                {"has_alt": False, "optional": False, "parent": stack[-1], "capture": idx if capturing else None}
+            )
+            stack.append(len(frames) - 1)
+            i += 1
+            continue
+        if c == ")":
+            fid = stack.pop()
+            j = i + 1
+            optional = False
+            if j < n:
+                if java_regex[j] in "?*":
+                    optional = True
+                elif java_regex[j] == "{":
+                    m = _QUANT_RE.match(java_regex, j)
+                    if m and m.group(0).startswith("{0"):
+                        optional = True
+            frames[fid]["optional"] = optional
+            i += 1
+            continue
+        if c == "|":
+            frames[stack[-1]]["has_alt"] = True
+        i += 1
+    out: dict[int, bool] = {}
+    for fr in frames:
+        g = fr["capture"]
+        if g is None:
+            continue
+        safe = not fr["optional"]
+        p = fr["parent"]
+        while safe and p is not None:
+            pf = frames[p]
+            if pf["has_alt"] or pf["optional"]:
+                safe = False
+            p = pf["parent"]
+        out[g] = safe
+    return out
+
+
+@lru_cache(maxsize=256)
+def _cached_compile_java(
+    match_patterns: tuple[str, ...],
+    extra_items: tuple[tuple[str, str], ...],
+    anchor: str,
+) -> tuple[JavaGrokPattern, ...] | None:
+    cg = _cached_compile(match_patterns, extra_items, anchor)
+    out: list[JavaGrokPattern] = []
+    for p in cg.patterns:
+        conv = _java_convert(p.regex.pattern)
+        if conv is None:
+            return None
+        jre, gmap = conv
+        part = _participation(jre)
+        caps: list[JavaCapture] = []
+        for f in p.fields:
+            gi = gmap.get(f.group)
+            if gi is None or not part.get(gi, False):
+                return None
+            caps.append(JavaCapture(f.name, f.type, gi))
+        out.append(JavaGrokPattern(jre, caps))
+    return tuple(out)
+
+
+def compile_grok_java(
+    match: list[str] | str,
+    extra_patterns: dict[str, str] | None = None,
+    anchor: str = "start",
+) -> tuple[JavaGrokPattern, ...] | None:
+    """Compile to the JVM-native form, or None if any pattern is not safely
+    expressible with Java regex + positional regexp_extract (see module
+    notes above). Memoized like compile_grok."""
+    if isinstance(match, str):
+        match = [match]
+    extra_items = tuple(sorted((extra_patterns or {}).items()))
+    return _cached_compile_java(tuple(match), extra_items, anchor)
+
+
 @lru_cache(maxsize=256)
 def _cached_compile(
     match_patterns: tuple[str, ...],

@@ -52,25 +52,41 @@ def extract_features(df: DataFrame, fake: bool = True, frame_stride: int = 1000)
     """Decode → feature-extract via mapInPandas (Arrow-batched, columnar).
 
     frame_stride models frame sampling: every `frame_stride` bytes counts as
-    one 'frame' for video/audio rows."""
+    one 'frame' for video/audio rows.
+
+    Mean/std are computed from EXACT integer moments (sum, sum-of-squares
+    are int64 — no float accumulation order): mean = s/n and
+    std = sqrt(sq/n - mean²) are then single IEEE ops, so a SQL oracle
+    evaluating the same formulas reproduces the doubles bit-for-bit
+    (numpy's pairwise-summed .std() would differ in the last ulp)."""
+    import math
+
     decode = _decode_fake if fake else _decode_real
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             sig_mean, sig_std, frames, nbytes = [], [], [], []
             for content, mtype in zip(pdf["content"], pdf["media_type"]):
-                arr = decode(bytes(content), mtype)
+                arr = decode(bytes(content), mtype).astype(np.int64)
+                n = arr.size
                 nbytes.append(len(content))
-                sig_mean.append(float(arr.mean()) if arr.size else 0.0)
-                sig_std.append(float(arr.std()) if arr.size else 0.0)
+                if n:
+                    s = int(arr.sum())
+                    sq = int((arr * arr).sum())
+                    mean = s / n
+                    std = math.sqrt(max(sq / n - mean * mean, 0.0))
+                else:
+                    mean = std = 0.0
+                sig_mean.append(round(mean, 6))
+                sig_std.append(round(std, 6))
                 frames.append(max(1, len(content) // frame_stride))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pd.Series(nbytes, dtype="int32"),
-                    "feat_mean": np.round(sig_mean, 6),
-                    "feat_std": np.round(sig_std, 6),
+                    "feat_mean": pd.Series(sig_mean, dtype="float64"),
+                    "feat_std": pd.Series(sig_std, dtype="float64"),
                     "frame_count": pd.Series(frames, dtype="int32"),
                 }
             )
@@ -123,6 +139,29 @@ def resize_images(df: DataFrame, target_w: int, target_h: int, fake: bool = True
             )
 
     return df.mapInPandas(gen, schema=RESIZED_SCHEMA_DDL)
+
+
+def media_from_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic media table derived from an existing TEXT table: the
+    UTF-8 bytes of `text` become the binary `content`. This gives the binary
+    decode path a corpus every engine can reproduce — the DuckDB oracle
+    recomputes the same features from the characters' code points (the
+    corpus is ASCII, so bytes == code points), putting mapInPandas binary
+    plumbing under the full rows+schema+hash correctness gate."""
+    from pyspark.sql import functions as F
+
+    mid = F.col(id_col).cast("long")
+    return df.select(
+        mid.alias("media_id"),
+        F.when(mid % 3 == 0, "image/png")
+        .when(mid % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.when(mid % 3 == 0, 640).otherwise(0).cast("int").alias("width"),
+        F.when(mid % 3 == 0, 480).otherwise(0).cast("int").alias("height"),
+        F.when(mid % 3 != 0, 1000 + mid * 7).otherwise(0).cast("int").alias("duration_ms"),
+    )
 
 
 def synth_media_df(spark, n: int = 64):

@@ -397,6 +397,38 @@ WHERE {_cos('va', 'vb')} >= 0.8
 """
 )
 
+# ---------------------------------------------------------------------------
+# multimodal: content = UTF-8 bytes of documents.text (ASCII corpus, so
+# byte == code point); features from exact integer moments — mean = s/n,
+# std = sqrt(sq/n - mean²) are single IEEE ops, bit-identical to the
+# mapInPandas kernel (multimodal.extract_features)
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_FEATURES = """
+WITH codes AS (
+  SELECT doc_id,
+         length(text) AS n,
+         list_transform(generate_series(1, length(text)),
+                        i -> unicode(substring(text, i, 1))) AS cs
+  FROM documents
+), m AS (
+  SELECT doc_id, n,
+         CAST(coalesce(list_sum(cs), 0) AS DOUBLE) / greatest(n, 1) AS mean,
+         CAST(coalesce(list_sum(list_transform(cs, c -> c * c)), 0) AS DOUBLE)
+           / greatest(n, 1) AS meansq
+  FROM codes
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       CAST(n AS INT) AS n_bytes,
+       round(mean, 6) AS feat_mean,
+       round(sqrt(greatest(meansq - mean * mean, 0)), 6) AS feat_std,
+       CAST(greatest(1, n // 1000) AS INT) AS frame_count
+FROM m
+"""
+
 ORACLES: dict[str, str] = {
     "pipeline_sink_counts": PIPELINE_SINK_COUNTS,
     # salted two-phase variant must produce value-identical counts
@@ -432,5 +464,5 @@ ORACLES: dict[str, str] = {
     "embed_cosine_topk": EMBED_COSINE_TOPK,
     "embed_ann_lsh": EMBED_ANN_LSH,
     "embed_near_dups": EMBED_NEAR_DUPS,
-    # multimodal_features: binary decode — genuinely non-SQL, rows-only check
+    "multimodal_features": MULTIMODAL_FEATURES,
 }

@@ -132,6 +132,28 @@ def run(
     if not files:
         return result  # nothing new — resume with no work
 
+    # A run_id already committed with a DIFFERENT input set must not be
+    # silently replaced: commit_run would drop the old record's input_files
+    # from the manifest and the overwrite would clobber its sink data.
+    prior = next((r for r in m.runs if r.run_id == run_id), None)
+    if prior is not None and set(prior.input_files) != set(files):
+        raise ValueError(
+            f"run_id {run_id!r} already committed over a different input set; "
+            "choose a fresh run_id (crashed-run retries reuse the SAME id)"
+        )
+    # GC orphan run directories: a crash after the routed write but before
+    # manifest commit leaves runs/<id>/ with no manifest record; a retry
+    # under a NEW run_id would otherwise leave those rows double-counted on
+    # any recursive read of runs/.
+    runs_dir = os.path.join(sink_root, "runs")
+    committed = {r.run_id for r in m.runs}
+    if os.path.isdir(runs_dir):
+        import shutil
+
+        for d in os.listdir(runs_dir):
+            if d not in committed and d != run_id:
+                shutil.rmtree(os.path.join(runs_dir, d), ignore_errors=True)
+
     bp = build(spark, cfg, io=io, dims=dims, input_files=files)
 
     routed_path = os.path.join(sink_root, "runs", run_id, "routed")

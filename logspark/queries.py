@@ -376,9 +376,12 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary decode plumbing — genuinely non-SQL; rows-only driver check."""
+    """Binary decode plumbing over mapInPandas, under the FULL oracle gate:
+    media bytes = UTF-8 text of the documents table, features from exact
+    integer moments — DuckDB reproduces every double bit-for-bit."""
     ensure_workers(spark)
-    media = multimodal.synth_media_df(spark, 64)
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
     return multimodal.extract_features(media, fake=True)
 
 

@@ -6,6 +6,6 @@ filter-chain / enrich / router functions applied per micro-batch via
 ``foreachBatch`` — zero operator code is streaming-specific.
 """
 
-from logspark.streaming.foreach import stream_pipeline
+from logspark.streaming.foreach import make_batch_processor, stream_pipeline
 
-__all__ = ["stream_pipeline"]
+__all__ = ["make_batch_processor", "stream_pipeline"]

@@ -10,8 +10,14 @@ directory with the identical batch DAG applied per micro-batch:
 Design points:
 - the batch functions are reused UNCHANGED — `foreachBatch` hands us a
   plain DataFrame, so grok/patch/enrich/router need no streaming variants;
-- the checkpointLocation supersedes the batch manifest for resume (Spark's
-  file-source log tracks processed files exactly like our manifest does);
+- the checkpointLocation tracks which input files each micro-batch covered
+  (Spark's file-source log — the streaming analogue of our batch manifest);
+- **replay idempotency**: foreachBatch is only at-least-once — after a
+  mid-batch failure Spark re-runs the SAME batch_id. Writes are therefore
+  keyed by batch_id and use dynamic-partition OVERWRITE: a replayed batch
+  replaces its own partition instead of appending duplicates. Exactly the
+  per-run overwrite-directory idempotency of the batch path (manifest.py),
+  in streaming form;
 - event-time windowed aggregates with late data would use
   `withWatermark("ts", ...)` + `window(ts, ...)` *inside* the streaming DAG
   instead of foreachBatch; the reference has no late-data semantics
@@ -33,6 +39,46 @@ TRANSCRIPTS_DDL = (
 )
 
 
+def make_batch_processor(
+    cfg: PipelineConfig,
+    sink_root: str,
+    dims: dict[str, DataFrame] | None = None,
+):
+    """The foreachBatch function: batch DAG + batch_id-idempotent writes.
+    Exposed so tests can replay a batch_id and assert no double counts."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        parsed = apply_filter_chain(batch_df, cfg.filter)
+        if cfg.enrich:
+            parsed = apply_enrich_chain(parsed, cfg.enrich, dims or {})
+        routed = route(parsed, cfg.output).withColumn("batch_id", F.lit(batch_id))
+        routed.persist()
+        try:
+            # dynamic-partition overwrite keyed on batch_id: a replayed
+            # micro-batch (at-least-once foreachBatch) replaces its own
+            # batch_id=<id>/ partitions — no double counts after recovery
+            (
+                routed.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "sink")
+                .parquet(f"{sink_root}/routed")
+            )
+            (
+                sink_counts(routed, bucket=cfg.aggregate.get("bucket", "hour"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{sink_root}/sink_counts")
+            )
+        finally:
+            routed.unpersist()
+
+    return process_batch
+
+
 def stream_pipeline(
     spark: SparkSession,
     cfg: PipelineConfig,
@@ -52,23 +98,9 @@ def stream_pipeline(
         .parquet(input_dir)
     )
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        parsed = apply_filter_chain(batch_df, cfg.filter)
-        if cfg.enrich:
-            parsed = apply_enrich_chain(parsed, cfg.enrich, dims or {})
-        routed = route(parsed, cfg.output)
-        routed.persist()
-        try:
-            routed.write.mode("append").partitionBy("sink").parquet(f"{sink_root}/routed")
-            sink_counts(routed, bucket=cfg.aggregate.get("bucket", "hour")).write.mode(
-                "append"
-            ).parquet(f"{sink_root}/sink_counts")
-        finally:
-            routed.unpersist()
-
-    writer = src.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    writer = src.writeStream.foreachBatch(
+        make_batch_processor(cfg, sink_root, dims)
+    ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

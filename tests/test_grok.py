@@ -123,3 +123,49 @@ def test_commonapachelog():
     assert out["request"] == "/idx.html"
     assert out["response"] == 200
     assert out["bytes"] == 5120
+
+
+# ---------------------------------------------------------------------------
+# JVM-native emission (compile_grok_java) — pure-Python checks, no Spark
+# ---------------------------------------------------------------------------
+
+def test_java_emission_positional_groups():
+    from logspark.grok import compile_grok_java
+    import re as _re
+
+    jp = compile_grok_java([r"tool=%{WORD:tool} ms=%{INT:ms:int}"])
+    assert jp is not None and len(jp) == 1
+    caps = {c.name: c for c in jp[0].captures}
+    assert caps["tool"].gidx == 1 and caps["ms"].gidx == 2
+    assert caps["ms"].type == "int"
+    # the emitted regex is also valid Python (shared subset) — verify the
+    # positional indices really line up with the named-group compiler
+    m = _re.compile(jp[0].regex).search("tool=search ms=42")
+    assert m and m.group(1) == "search" and m.group(2) == "42"
+
+
+def test_java_emission_counts_plain_user_groups():
+    from logspark.grok import compile_grok_java
+    import re as _re
+
+    # a plain (non-grok) capturing group before the semantic one must shift
+    # the semantic group's positional index
+    jp = compile_grok_java([r"(ab|cd) v=%{INT:v:int}"])
+    assert jp is None or jp[0].captures[0].gidx == 2
+    # (alternation INSIDE the plain group is fine; the semantic capture is
+    # outside it, so this pattern is eligible)
+    assert jp is not None
+    m = _re.compile(jp[0].regex).search("ab v=7")
+    assert m and m.group(jp[0].captures[0].gidx) == "7"
+
+
+def test_java_emission_rejects_unsafe():
+    from logspark.grok import compile_grok_java
+
+    assert compile_grok_java([r"x(?:%{INT:k:int})?"]) is None  # optional capture
+    assert compile_grok_java([r"(?:a%{INT:k:int}|b)"]) is None  # alternated capture
+    assert compile_grok_java([r"{bad %{INT:k:int}"]) is None  # dangling literal {
+    # \2 = the (x) group once the compiler's outer wrapper shifts indices
+    assert compile_grok_java([r"(x)\2 %{INT:k:int}"]) is None  # backreference
+    # quantified-but-mandatory enclosing group is fine
+    assert compile_grok_java([r"(?:%{INT:k:int}){1}"]) is not None

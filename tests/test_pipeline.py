@@ -164,6 +164,43 @@ def test_manifest_forward_compat_extra_keys(tmp_path):
     _os.remove(p)
 
 
+def test_run_gc_orphans_and_run_id_safety(spark, tiny_pdf, tmp_path, dims, mem_config):
+    """Crash-recovery ledger (ADVICE r1): orphan runs/<id>/ dirs (written but
+    never committed) are GC'd at the next run start; reusing a committed
+    run_id over a different input set is refused instead of clobbering."""
+    import os
+
+    from logspark.sources.tableio import ParquetIO
+
+    in_dir = tmp_path / "in"
+    tbl_dir = in_dir / "transcripts.parquet"
+    tbl_dir.mkdir(parents=True)
+    tiny_pdf.iloc[:500].to_parquet(
+        tbl_dir / "part-0.parquet", coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    io = ParquetIO(str(in_dir))
+    cfg = canonical_config()
+    sink_root = str(tmp_path / "out")
+
+    # fake a crashed run: directory exists, no manifest record
+    orphan = tmp_path / "out" / "runs" / "crashed-uuid" / "routed"
+    orphan.mkdir(parents=True)
+    (orphan / "junk").write_text("x")
+
+    res = pipeline.run(spark, cfg, io, sink_root, run_id="r1", dims=dims)
+    assert res.sink_rows["parsed"] > 0
+    assert not os.path.exists(str(tmp_path / "out" / "runs" / "crashed-uuid"))
+
+    # new input file; reusing r1 must refuse, fresh id must process it
+    tiny_pdf.iloc[500:900].to_parquet(
+        tbl_dir / "part-1.parquet", coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    with pytest.raises(ValueError, match="different input set"):
+        pipeline.run(spark, cfg, io, sink_root, run_id="r1", dims=dims)
+    res2 = pipeline.run(spark, cfg, io, sink_root, run_id="r2", dims=dims)
+    assert len(res2.input_files) == 1  # only the new file
+
+
 def test_json_filter_schema_with_failure_tag(spark):
     """Regression: schema-promoted json codec + tag_on_failure used to
     reference the dropped _j column (unresolved-column error)."""

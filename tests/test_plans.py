@@ -36,13 +36,48 @@ def _optimized(df) -> str:
 
 
 def test_single_python_eval_through_router(transcripts):
-    """The explode router must not duplicate the grok pandas UDF."""
+    """The explode router must not duplicate the grok pandas UDF (pandas
+    engine forced — the fallback path for non-JVM-expressible patterns)."""
+    parsed = apply_filter_chain(
+        transcripts, [{**FLAGSHIP_FILTERS[0], "accumulators": False, "engine": "pandas"}]
+    )
+    routed = route(parsed, FLAGSHIP_SINKS)
+    plan = _plan(routed.select("sink", "conv_id"))
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_native_grok_has_zero_python(transcripts):
+    """JVM-expressible grok configs (the common case: every canonical and
+    flagship pattern) must compile to pure Column expressions — no Arrow
+    boundary, no Python workers, anywhere in the routed plan."""
     parsed = apply_filter_chain(
         transcripts, [{**FLAGSHIP_FILTERS[0], "accumulators": False}]
     )
     routed = route(parsed, FLAGSHIP_SINKS)
     plan = _plan(routed.select("sink", "conv_id"))
-    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_native_grok_whole_canonical_pipeline_python_free(transcripts, dims):
+    """The full canonical pipeline (grok + json + patch + enrich + route)
+    is JVM-only end-to-end under engine=auto."""
+    cfg = canonical_config()
+    parsed = apply_filter_chain(transcripts, cfg.filter)
+    parsed = apply_enrich_chain(parsed, cfg.enrich, dims)
+    routed = route(parsed, cfg.output)
+    plan = _plan(routed)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_grok_engine_fallback_and_force(transcripts):
+    """Optional capture groups are not JVM-expressible: auto falls back to
+    the pandas UDF; engine='native' refuses loudly."""
+    opt = {"type": "grok", "source": "text", "match": [r"c%{INT:a:int}(?: %{INT:b:int})?"], "accumulators": False}
+    parsed = apply_filter_chain(transcripts, [opt])
+    assert _plan(parsed).count("ArrowEvalPython") == 1
+    with pytest.raises(ValueError, match="not JVM-expressible"):
+        apply_filter_chain(transcripts, [{**opt, "engine": "native"}])
 
 
 def test_enrich_is_broadcast_hash_join(transcripts, dims):

@@ -93,6 +93,38 @@ def test_streaming_matches_batch(spark, tmp_path, dims):
     assert cs == cb
 
 
+def test_streaming_batch_replay_is_idempotent(spark, tmp_path, dims):
+    """foreachBatch is at-least-once: after a mid-batch crash Spark re-runs
+    the same batch_id. Replaying a batch must leave sink contents and counts
+    IDENTICAL (dynamic-partition overwrite keyed on batch_id), and must not
+    disturb other batches."""
+    from logspark.streaming import make_batch_processor
+
+    n = 1200
+    pdf = synth_transcripts(np.arange(n), n)
+    df = spark.createDataFrame(pdf)
+    b0, b1 = df.filter(F.col("turn_idx") % 2 == 0), df.filter(F.col("turn_idx") % 2 == 1)
+    sink_root = str(tmp_path / "out")
+    process = make_batch_processor(canonical_config(), sink_root, dims)
+
+    process(b0, 0)
+    process(b1, 1)
+    routed_once = spark.read.parquet(f"{sink_root}/routed")
+    counts_once = spark.read.parquet(f"{sink_root}/sink_counts")
+    snap_rows = sorted(
+        (r["batch_id"], r["sink"], r["conv_id"], r["turn_idx"]) for r in routed_once.collect()
+    )
+    snap_counts = sorted(map(tuple, counts_once.collect()))
+
+    process(b1, 1)  # simulated post-crash replay of batch 1
+    routed_again = spark.read.parquet(f"{sink_root}/routed")
+    counts_again = spark.read.parquet(f"{sink_root}/sink_counts")
+    assert sorted(
+        (r["batch_id"], r["sink"], r["conv_id"], r["turn_idx"]) for r in routed_again.collect()
+    ) == snap_rows
+    assert sorted(map(tuple, counts_again.collect())) == snap_counts
+
+
 def test_manifest_roundtrip(tmp_path):
     root = str(tmp_path)
     m = mf.load_manifest(root)
