@@ -24,6 +24,10 @@ class PipelineConfig:
     enrich: list[dict] = field(default_factory=list)
     output: list[dict] = field(default_factory=list)
     aggregate: dict = field(default_factory=lambda: {"bucket": "hour"})
+    # write-layout knobs: {"files_per_sink": k} caps the routed write at
+    # ~k files per sink (see plans/pipeline.run for the 100 TB file-count
+    # math); default unset = shuffle-free dynamic-partition write
+    write: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         for section, entries in (("input", self.input), ("filter", self.filter)):
@@ -38,7 +42,7 @@ class PipelineConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "PipelineConfig":
-        known = {"input", "filter", "enrich", "output", "aggregate"}
+        known = {"input", "filter", "enrich", "output", "aggregate", "write"}
         unknown = set(d) - known
         if unknown:
             raise ValueError(f"unknown config sections: {sorted(unknown)}")

@@ -31,6 +31,23 @@ def sinks_column(sink_cfgs: list[dict]) -> Column:
     return F.array_compact(F.array(*arms))
 
 
+def index_column(df: DataFrame, sink_cfgs: list[dict], ts_col: str = "ts") -> Column:
+    """Elastic-sink index-name templating (SURVEY.md §2.8 row O3): a sink
+    config may carry `index: "logs-%{+yyyy.MM.dd}"` — the per-row index the
+    reference's elastic output computes from its date template. Compiled to
+    a CASE over the routed `sink` column via the shared template compiler;
+    sinks without an index template get null."""
+    from logspark.functions.templates import compile_template
+
+    expr = F.lit(None).cast("string")
+    for cfg in sink_cfgs:
+        if cfg.get("index"):
+            expr = F.when(
+                F.col("sink") == cfg["name"], compile_template(cfg["index"], df, ts_col=ts_col)
+            ).otherwise(expr)
+    return expr
+
+
 def route(df: DataFrame, sink_cfgs: list[dict], keep_sinks_col: bool = False) -> DataFrame:
     """Returns the routed frame: one row per (event, matched sink), with a
     `sink` string column. Events matching no sink are absent (but remain in
@@ -46,4 +63,6 @@ def route(df: DataFrame, sink_cfgs: list[dict], keep_sinks_col: bool = False) ->
     # plain explode, InferFiltersFromGenerate duplicates the grok UDF —
     # see session.ENGINE_CONF excludedRules.
     df = df.withColumn("sink", F.explode_outer("sinks")).filter(F.col("sink").isNotNull())
+    if any(c.get("index") for c in sink_cfgs):
+        df = df.withColumn("index", index_column(df, sink_cfgs))
     return df if keep_sinks_col else df.drop("sinks")

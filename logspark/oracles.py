@@ -126,6 +126,17 @@ WITH routed AS (
 
 ROUTER_FANOUT = _EVENT_ROUTED + "SELECT sink, event_id FROM routed"
 
+ROUTER_INDEX_TEMPLATE = """
+WITH routed AS (
+  SELECT 'es_events' AS sink, event_id,
+         'logs-' || strftime(ts, '%Y.%m.%d') AS "index"
+  FROM events WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT 'archive', event_id, NULL FROM events WHERE value >= 400
+)
+SELECT sink, event_id, "index" FROM routed
+"""
+
 SINK_COUNTS_HOURLY = (
     _EVENT_ROUTED
     + "SELECT sink, date_trunc('hour', ts) AS bucket, COUNT(*) AS n FROM routed GROUP BY 1, 2"
@@ -443,6 +454,7 @@ ORACLES: dict[str, str] = {
     "mutate_tags": MUTATE_TAGS,
     "enrich_geo": ENRICH_GEO,
     "router_fanout": ROUTER_FANOUT,
+    "router_index_template": ROUTER_INDEX_TEMPLATE,
     "sink_counts_hourly": SINK_COUNTS_HOURLY,
     "window_bucket_agg": WINDOW_BUCKET_AGG,
     "topk_users": TOPK_USERS,

@@ -157,7 +157,22 @@ def run(
     bp = build(spark, cfg, io=io, dims=dims, input_files=files)
 
     routed_path = os.path.join(sink_root, "runs", run_id, "routed")
-    bp.routed.write.mode("overwrite").partitionBy("sink").parquet(routed_path)
+    routed_out = bp.routed
+    # File-count control. The shuffle-free dynamic-partition write produces
+    # tasks x sinks files — at 100 TB (~800k input splits, 3-5 sinks) that
+    # is millions of files per run, a metastore/list killer. With
+    # write.files_per_sink = k, one extra shuffle repartitions on
+    # (sink, hash(conv_id) % k) → ~k files per sink, each sized
+    # bytes_per_sink / k (pick k so files land near the 128-512 MB sweet
+    # spot). Default off: the narrow plan wins while file counts are sane.
+    fps = cfg.write.get("files_per_sink")
+    if fps:
+        routed_out = routed_out.repartition(
+            int(fps) * max(len(cfg.output), 1),
+            "sink",
+            F.pmod(F.hash("conv_id"), F.lit(int(fps))),
+        )
+    routed_out.write.mode("overwrite").partitionBy("sink").parquet(routed_path)
     # Counts come from the WRITTEN sink, not a recomputation: the parse→route
     # stage runs exactly once, and the (sink, conv_id, ts)-only re-read is a
     # column-pruned parquet scan — tiny next to the parse cost. This also

@@ -232,6 +232,21 @@ def q_router_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route(ev, EVENT_SINKS).select("sink", "event_id")
 
 
+def q_router_index_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 elastic-sink semantics: per-row index name from the sink's
+    `%{+date}` template; non-elastic sinks carry null."""
+    ev = ensure_tags(_t(spark, sf_dir, "events"))
+    sinks = [
+        {
+            "name": "es_events",
+            "when": {"field_in": {"event_type": ["click", "view"]}},
+            "index": "logs-%{+yyyy.MM.dd}",
+        },
+        {"name": "archive", "when": {"expr": "value >= 400"}},
+    ]
+    return route(ev, sinks).select("sink", "event_id", "index")
+
+
 def q_sink_counts_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ensure_tags(_t(spark, sf_dir, "events"))
     routed = route(ev, EVENT_SINKS)
@@ -398,6 +413,7 @@ QUERIES = {
     "mutate_tags": q_mutate_tags,
     "enrich_geo": q_enrich_geo,
     "router_fanout": q_router_fanout,
+    "router_index_template": q_router_index_template,
     "sink_counts_hourly": q_sink_counts_hourly,
     "window_bucket_agg": q_window_bucket_agg,
     "topk_users": q_topk_users,

@@ -25,6 +25,9 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.files.maxPartitionBytes": "32m",
+    # guard rail for dynamic-partition writes: bound the worst-case file
+    # SIZE (file COUNT is bounded by write.files_per_sink, pipeline.run)
+    "spark.sql.files.maxRecordsPerFile": "5000000",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",

@@ -7,5 +7,11 @@ filter-chain / enrich / router functions applied per micro-batch via
 """
 
 from logspark.streaming.foreach import make_batch_processor, stream_pipeline
+from logspark.streaming.sources import lines_to_transcripts, stream_source
 
-__all__ = ["make_batch_processor", "stream_pipeline"]
+__all__ = [
+    "lines_to_transcripts",
+    "make_batch_processor",
+    "stream_pipeline",
+    "stream_source",
+]

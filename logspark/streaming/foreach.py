@@ -82,21 +82,28 @@ def make_batch_processor(
 def stream_pipeline(
     spark: SparkSession,
     cfg: PipelineConfig,
-    input_dir: str,
+    input_dir: str | None,
     sink_root: str,
     checkpoint_dir: str,
     dims: dict[str, DataFrame] | None = None,
     max_files_per_trigger: int = 8,
     available_now: bool = True,
+    source: DataFrame | None = None,
 ):
     """Returns the started StreamingQuery. With available_now=True the query
-    drains everything currently in input_dir and stops — the testable mode;
-    False tails forever like the reference agent."""
-    src = (
-        spark.readStream.schema(TRANSCRIPTS_DDL)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    drains everything currently available and stops — the testable mode;
+    False tails forever like the reference agent. `source` accepts any
+    streaming DataFrame in the transcripts shape (see streaming.sources for
+    the socket/rate push-input builders); default is the file source over
+    `input_dir` — the tailed-directory case."""
+    if source is not None:
+        src = source
+    else:
+        src = (
+            spark.readStream.schema(TRANSCRIPTS_DDL)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir)
+        )
 
     writer = src.writeStream.foreachBatch(
         make_batch_processor(cfg, sink_root, dims)

@@ -201,6 +201,44 @@ def test_run_gc_orphans_and_run_id_safety(spark, tiny_pdf, tmp_path, dims, mem_c
     assert len(res2.input_files) == 1  # only the new file
 
 
+def test_files_per_sink_caps_output_file_count(spark, tiny_pdf, tmp_path, dims):
+    """write.files_per_sink bounds the routed write's file count (default
+    dynamic-partition write yields tasks x sinks files) without changing
+    the routed content."""
+    import glob
+    import os
+
+    from logspark.sources.tableio import ParquetIO
+
+    in_dir = tmp_path / "in" / "transcripts.parquet"
+    in_dir.mkdir(parents=True)
+    # 8 input part-files → default write yields up to 8 x 3 sink files
+    for i in range(8):
+        tiny_pdf.iloc[i * 250 : (i + 1) * 250].to_parquet(
+            in_dir / f"part-{i}.parquet", coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+    io = ParquetIO(str(tmp_path / "in"))
+    dflt = canonical_config()
+    res_a = pipeline.run(spark, dflt, io, str(tmp_path / "out_a"), run_id="a", dims=dims)
+
+    capped = canonical_config()
+    capped.write = {"files_per_sink": 2}
+    res_b = pipeline.run(spark, capped, io, str(tmp_path / "out_b"), run_id="b", dims=dims)
+
+    def n_files(root, rid):
+        return len(glob.glob(os.path.join(root, "runs", rid, "routed", "sink=*", "*.parquet")))
+
+    assert res_a.sink_rows == res_b.sink_rows
+    a, b = n_files(str(tmp_path / "out_a"), "a"), n_files(str(tmp_path / "out_b"), "b")
+    assert b < a, (a, b)
+    assert b <= 2 * len(capped.output) * 2  # ~files_per_sink per sink (+ hash-collision slack)
+    ra = spark.read.parquet(str(tmp_path / "out_a" / "runs" / "a" / "routed"))
+    rb = spark.read.parquet(str(tmp_path / "out_b" / "runs" / "b" / "routed"))
+    assert ra.select("sink", "conv_id", "turn_idx").exceptAll(
+        rb.select("sink", "conv_id", "turn_idx")
+    ).count() == 0
+
+
 def test_json_filter_schema_with_failure_tag(spark):
     """Regression: schema-promoted json codec + tag_on_failure used to
     reference the dropped _j column (unresolved-column error)."""

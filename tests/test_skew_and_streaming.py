@@ -93,6 +93,52 @@ def test_streaming_matches_batch(spark, tmp_path, dims):
     assert cs == cb
 
 
+def test_lines_to_transcripts_codecs(spark):
+    """Push-input codec stage: raw wire lines → transcripts shape."""
+    from logspark.streaming import lines_to_transcripts
+
+    lines = spark.createDataFrame(
+        [
+            ('{"conv_id":"c1","turn_idx":3,"role":"user","text":"hi","tool":"t","ts":"2024-02-11 09:15:32"}',),
+            ("not json at all",),
+        ],
+        "value string",
+    )
+    j = {r["turn_idx"]: r for r in lines_to_transcripts(lines, "json").collect()}
+    assert j[3]["conv_id"] == "c1" and j[3]["text"] == "hi"
+    assert None in j and j[None]["conv_id"] is None  # malformed → null row
+    p = lines_to_transcripts(lines, "plain").collect()
+    assert {r["text"] for r in p} == {'{"conv_id":"c1","turn_idx":3,"role":"user","text":"hi","tool":"t","ts":"2024-02-11 09:15:32"}', "not json at all"}
+    assert all(r["conv_id"] == "push" and r["turn_idx"] is not None for r in p)
+
+
+def test_push_source_rate_stream(spark, tmp_path, dims):
+    """S3 landing spot: synthetic push traffic (rate source → json codec →
+    transcripts) through the full pipeline; the socket source shares this
+    exact code path with a network peer instead."""
+    import time
+
+    from logspark.streaming import stream_pipeline, stream_source
+
+    src = stream_source(spark, {"type": "rate", "rows_per_second": 2000})
+    sink_root = str(tmp_path / "out")
+    q = stream_pipeline(
+        spark, canonical_config(), None, sink_root, str(tmp_path / "ckpt"),
+        dims=dims, available_now=False, source=src,
+    )
+    try:
+        time.sleep(4)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    routed = spark.read.parquet(f"{sink_root}/routed")
+    assert routed.count() > 0
+    # '{"k": N}' push payloads: grok (tool-log/apache) fails → raw sink,
+    # json codec extracts k — exactly the flagship mixed-codec semantics
+    assert {r["sink"] for r in routed.select("sink").distinct().collect()} == {"raw"}
+    assert routed.filter(F.col("k").isNull()).count() == 0
+
+
 def test_streaming_batch_replay_is_idempotent(spark, tmp_path, dims):
     """foreachBatch is at-least-once: after a mid-batch crash Spark re-runs
     the same batch_id. Replaying a batch must leave sink contents and counts
