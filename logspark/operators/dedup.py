@@ -236,15 +236,26 @@ def ngram_jaccard(
     those — the scale path."""
     sh = shingles(df, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    l, r = sh.alias("l"), sh.alias("r")
-    inter = (
-        l.join(r, "shingle")
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
+        # Candidates-driven intersection: attach each pair's a-side
+        # shingles, keep those the b-side shares. Cost is
+        # O(|candidates| x shingles/doc) — the quadratic shared-shingle
+        # pair space is never built (semi-joining it AFTER the self-join
+        # would still pay the full O(bucket²) shuffle first).
+        inter = (
+            candidates.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
+            .join(sh.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        l, r = sh.alias("l"), sh.alias("r")
+        inter = (
+            l.join(r, "shingle")
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("sz", "sz_a"), "a")
         .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("sz", "sz_b"), "b")

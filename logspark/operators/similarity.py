@@ -103,6 +103,73 @@ def ann_topk(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    n_anchors: int = 6,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: every vector is assigned to its NEAREST centroid
+    (argmax cosine, deterministic lowest-index tie-break); search scans only
+    the query's `nprobe` nearest cells. Centroids are the n lowest-id rows
+    of the corpus — deterministic and engine-agnostic, so the DuckDB oracle
+    reproduces cell assignment exactly (a production deployment would
+    k-means them; assignment/probe plumbing is identical).
+
+    vs sign-bit LSH (ann_topk): cells partition the corpus (each vector in
+    exactly ONE cell — storage can be bucketed/clustered by cell id), and
+    recall/cost tune smoothly via nprobe instead of 2^bits bucketing."""
+    anchors = df.orderBy(id_col).limit(n_anchors)
+    a = anchors.select(
+        F.col(id_col).alias("_aid"), F.col(vec_col).cast("array<double>").alias("_avec")
+    )
+    rows = a.orderBy("_aid").collect()  # few anchors — driver-side is fine
+    dv = F.col(vec_col).cast("array<double>")
+
+    def cos_to(avec_row):
+        avec = F.array(*[F.lit(float(x)) for x in avec_row])
+        return _dot(dv, avec) / (_norm(dv) * _norm(avec))
+
+    # deterministic argmax: strictly-greater chain, first anchor wins ties
+    cell = F.lit(0)
+    best = cos_to(rows[0]["_avec"])
+    for i in range(1, len(rows)):
+        s = cos_to(rows[i]["_avec"])
+        cond = s > best
+        cell = F.when(cond, F.lit(i)).otherwise(cell)
+        best = F.when(cond, s).otherwise(best)
+    assigned = df.withColumn("cell", cell)
+
+    qrow = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()[0]["qv"]
+    import math
+
+    qn = math.sqrt(sum(x * x for x in qrow))
+    scored_cells = sorted(
+        (
+            (
+                -sum(x * y for x, y in zip(r["_avec"], qrow))
+                / (math.sqrt(sum(x * x for x in r["_avec"])) * qn),
+                i,
+            )
+            for i, r in enumerate(rows)
+        ),
+    )
+    probe_cells = [i for _, i in scored_cells[:nprobe]]
+
+    qv = F.array(*[F.lit(float(x)) for x in qrow])
+    return (
+        assigned.filter(F.col("cell").isin(probe_cells) & (F.col(id_col) != query_id))
+        .select(id_col, F.round(_dot(dv, qv) / (_norm(dv) * _norm(qv)), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

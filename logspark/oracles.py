@@ -397,6 +397,33 @@ ORDER BY sim DESC, vec_id LIMIT 10
 """
 )
 
+# IVF ANN: cell = argmax cosine to 6 deterministic centroids (lowest-index
+# tie-break == ORDER BY d DESC, bit); probe the query's nprobe=2 nearest
+# cells; exact cosine inside. Assignment uses UNROUNDED cosines — both
+# engines fold identically, so the argmax picks the same cell bit-for-bit.
+_COS_RAW = f"({_DOT.format(a='{a}', b='{b}')} / ({_NRM.format(a='{a}')} * {_NRM.format(a='{b}')}))"
+
+EMBED_IVF_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bit, v AS av
+      FROM v ORDER BY vec_id LIMIT 6),
+dots AS (SELECT v.vec_id, a.bit, {_COS_RAW.format(a='v.v', b='a.av')} AS d
+         FROM v CROSS JOIN a),
+cells AS (SELECT vec_id, bit AS cell FROM (
+            SELECT vec_id, bit,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, bit) AS rn
+            FROM dots) WHERE rn = 1),
+qc AS (SELECT bit AS cell FROM (
+         SELECT bit, row_number() OVER (ORDER BY d DESC, bit) AS rn
+         FROM dots WHERE vec_id = 0) WHERE rn <= 2),
+q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+s AS (SELECT c.vec_id, v.v FROM cells c JOIN v USING (vec_id)
+      WHERE c.cell IN (SELECT cell FROM qc) AND c.vec_id <> 0)
+SELECT vec_id, {_cos('v', 'qv')} AS sim
+FROM s CROSS JOIN q
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
 EMBED_NEAR_DUPS = (
     _BUCKETS_CTE
     + f""",
@@ -475,6 +502,7 @@ ORACLES: dict[str, str] = {
     "simhash_bands": SIMHASH_BANDS,
     "embed_cosine_topk": EMBED_COSINE_TOPK,
     "embed_ann_lsh": EMBED_ANN_LSH,
+    "embed_ivf_topk": EMBED_IVF_TOPK,
     "embed_near_dups": EMBED_NEAR_DUPS,
     "multimodal_features": MULTIMODAL_FEATURES,
 }

@@ -385,6 +385,13 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, query_id=0, n_anchors=6, k=10)
 
 
+def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: nearest-centroid cells + nprobe probing —
+    each vector lives in exactly one cell (bucketable storage layout)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, query_id=0, n_anchors=6, nprobe=2, k=10)
+
+
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dups(emb, threshold=0.8, n_anchors=6)
@@ -434,6 +441,7 @@ QUERIES = {
     "simhash_bands": q_simhash_bands,
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_ann_lsh": q_embed_ann_lsh,
+    "embed_ivf_topk": q_embed_ivf_topk,
     "embed_near_dups": q_embed_near_dups,
     "multimodal_features": q_multimodal_features,
 }
