@@ -167,7 +167,7 @@ def update_baseline_md(scaling: dict) -> None:
         f.write(
             "# BENCH/BASELINE.md — measured scaling evidence (north rule)\n\n"
             "Protocol (see /root/repo/BASELINE.md): identical parse→route job —\n"
-            "scan → grok pandas UDF → json codec → patch → 2 broadcast enrich\n"
+            "scan → grok (JVM-native regex engine) → json codec → patch → 2 broadcast enrich\n"
             "joins → explode router → partitioned routed write + per-sink\n"
             "(conv_id, hour) counts — over the same deterministically synthesized\n"
             f"transcripts table ({scaling['turns']:,} turns, 128 parquet files),\n"

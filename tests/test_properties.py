@@ -144,3 +144,42 @@ def test_routing_invariants_on_random_corpus(spark, transcripts, dims):
     )
     assert bad == 0
     routed.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# native (JVM) grok engine ≡ pandas engine — drawn corpora, both engines
+# ---------------------------------------------------------------------------
+
+# ASCII-only corpus: the documented Java/Python divergence is Unicode word
+# classes (Java \w is ASCII, Python's is Unicode) — out of contract for the
+# native engine. \x01 (the native engine's capture delimiter) is INCLUDED
+# to exercise the per-row collision fallback.
+_ascii_lines = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=127),
+    max_size=60,
+)
+_structured = st.builds(
+    "ev k={} d={} rest={}".format,
+    st.integers(-10**6, 10**6),
+    st.sampled_from(["a b", "", "x\x01y", "0.5"]),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20),
+)
+
+_ENGINE_PATTERNS = [
+    r"ev k=%{INT:k:int} d=%{DATA:d} rest=%{GREEDYDATA:rest}",
+    r"%{NOTSPACE:head} %{GREEDYDATA:tail}",
+]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.one_of(_structured, _ascii_lines), min_size=1, max_size=40))
+def test_native_engine_equals_pandas_engine(spark, lines):
+    from logspark.operators.filters import apply_filter_chain
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(lines)], "rid int, text string")
+    base = {"type": "grok", "match": _ENGINE_PATTERNS, "accumulators": False}
+    cols = ["rid", "k", "d", "rest", "head", "tail", "tags"]
+    nat = apply_filter_chain(df, [dict(base, engine="native")]).select(*cols).collect()
+    pan = apply_filter_chain(df, [dict(base, engine="pandas")]).select(*cols).collect()
+    for a, b in zip(sorted(nat), sorted(pan)):
+        assert a == b, (a, b)
