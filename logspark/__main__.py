@@ -27,6 +27,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--full", action="store_true", help="ignore manifest; process everything")
     ap.add_argument("--stream", action="store_true", help="continuous mode (foreachBatch)")
+    ap.add_argument(
+        "--watch", type=float, default=None, metavar="SECONDS",
+        help="continuous batch-agent mode: poll for new input every N seconds, "
+        "re-loading the config each tick (hot reload)",
+    )
     args = ap.parse_args(argv)
 
     from logspark.config import PipelineConfig
@@ -57,6 +62,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         q.awaitTermination()
         print(json.dumps({"mode": "stream", "status": "drained"}))
+        return 0
+
+    if args.watch is not None:
+        from logspark.plans.pipeline import watch
+
+        results = watch(
+            spark, args.config, ParquetIO(args.input_dir), args.sink_root,
+            dims=dims, interval_s=args.watch,
+        )
+        print(json.dumps({"mode": "watch", "runs": len(results)}))
         return 0
 
     from logspark.plans.pipeline import run

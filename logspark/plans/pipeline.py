@@ -113,6 +113,42 @@ def build(
     return BuiltPipeline(parsed=parsed, routed=routed, counts=counts, observation=obs)
 
 
+def watch(
+    spark: SparkSession,
+    config_path: str,
+    io: ParquetIO,
+    sink_root: str,
+    dims: dict[str, DataFrame] | None = None,
+    interval_s: float = 30.0,
+    max_iterations: int | None = None,
+) -> list[RunResult]:
+    """Continuous batch-agent mode — the Spark-native analogue of the
+    reference's long-running agent with etcd-backed config reload
+    (SURVEY.md §3.1 entry 3): every iteration RE-LOADS the config file
+    (edits take effect on the next tick, no restart), runs one incremental
+    batch over manifest-pending input files, and sleeps. Each iteration's
+    run_id is derived from the pending file set, so a crash mid-iteration
+    retries under the SAME id (idempotent overwrite) instead of orphaning
+    a directory. `max_iterations` bounds the loop for tests; None tails
+    forever like the reference agent."""
+    import hashlib
+    import time
+
+    results: list[RunResult] = []
+    i = 0
+    while max_iterations is None or i < max_iterations:
+        cfg = PipelineConfig.load(config_path)  # hot reload, every tick
+        table = next(c["table"] for c in cfg.input if c["type"] == "table")
+        pending = mf.pending_files(io.input_files(spark, table), mf.load_manifest(sink_root))
+        if pending:
+            rid = "w-" + hashlib.md5("\n".join(sorted(pending)).encode()).hexdigest()[:12]
+            results.append(run(spark, cfg, io, sink_root, run_id=rid, dims=dims))
+        i += 1
+        if max_iterations is None or i < max_iterations:
+            time.sleep(interval_s)
+    return results
+
+
 def run(
     spark: SparkSession,
     cfg: PipelineConfig,

@@ -49,6 +49,32 @@ class ParquetIO:
         w.parquet(os.path.join(self.base_dir, table))
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int = 32,
+    bucket_col: str = "conv_id",
+    sort_col: str = "turn_idx",
+) -> None:
+    """Bucketed-table layout (north_rule: "bucket by conv_id").
+
+    Writing the transcripts corpus bucketed on conv_id makes every
+    conv_id-keyed groupBy and every join between identically-bucketed
+    tables SHUFFLE-FREE: the bucketed scan already reports
+    hashpartitioning(conv_id, n), so Catalyst plans the aggregate/join
+    without an Exchange (asserted in tests/test_plans.py). At 100 TB this
+    converts the biggest repeated shuffle (per-conversation work) into a
+    storage property paid once at ingest. Iceberg equivalent:
+    `bucket(n, conv_id)` partition transform, same plan effect."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(sort_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 @dataclass
 class IcebergIO:
     """Production Iceberg path. Requires iceberg-spark-runtime on the

@@ -239,6 +239,52 @@ def test_files_per_sink_caps_output_file_count(spark, tiny_pdf, tmp_path, dims):
     ).count() == 0
 
 
+def test_watch_mode_hot_reloads_config(spark, tiny_pdf, tmp_path, dims):
+    """Continuous batch-agent mode: each tick re-loads the config (hot
+    reload, the reference's etcd-watch analogue) and processes only
+    manifest-pending files with a pending-set-derived run_id."""
+    import json as _json
+
+    from logspark.sources.tableio import ParquetIO
+
+    tbl = tmp_path / "in" / "transcripts.parquet"
+    tbl.mkdir(parents=True)
+    tiny_pdf.iloc[:400].to_parquet(
+        tbl / "p0.parquet", coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    cfg = canonical_config()
+    cfg_path = tmp_path / "pipeline.json"
+    cfg_path.write_text(_json.dumps(
+        {"input": cfg.input, "filter": cfg.filter, "enrich": cfg.enrich,
+         "output": cfg.output, "aggregate": cfg.aggregate}
+    ))
+    io = ParquetIO(str(tmp_path / "in"))
+    sink_root = str(tmp_path / "out")
+
+    r1 = pipeline.watch(spark, str(cfg_path), io, sink_root, dims=dims,
+                        interval_s=0, max_iterations=1)
+    assert len(r1) == 1 and r1[0].sink_rows["parsed"] > 0
+    assert r1[0].run_id.startswith("w-")
+
+    # no new input → the next tick does nothing
+    r2 = pipeline.watch(spark, str(cfg_path), io, sink_root, dims=dims,
+                        interval_s=0, max_iterations=1)
+    assert r2 == []
+
+    # config edit (new sink) + new input file: BOTH picked up on next tick
+    cfg2 = _json.loads(cfg_path.read_text())
+    cfg2["output"].append({"name": "everything"})
+    cfg_path.write_text(_json.dumps(cfg2))
+    tiny_pdf.iloc[400:700].to_parquet(
+        tbl / "p1.parquet", coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    r3 = pipeline.watch(spark, str(cfg_path), io, sink_root, dims=dims,
+                        interval_s=0, max_iterations=1)
+    assert len(r3) == 1
+    assert r3[0].sink_rows.get("everything") == 300  # hot-reloaded sink
+    assert len(r3[0].input_files) == 1  # only the new file
+
+
 def test_json_filter_schema_with_failure_tag(spark):
     """Regression: schema-promoted json codec + tag_on_failure used to
     reference the dropped _j column (unresolved-column error)."""

@@ -120,6 +120,25 @@ def test_counts_aggregate_is_partial_final(transcripts, dims):
     assert re.search(r"HashAggregate.*partial_count", plan) or "partial" in plan, plan
 
 
+def test_bucketed_layout_removes_shuffles(spark, transcripts):
+    """north_rule 'bucket by conv_id': over a conv_id-bucketed table, both
+    the per-conversation aggregate and a self-join on conv_id plan WITHOUT
+    a shuffle Exchange — the storage layout pays the shuffle once at
+    ingest. (Iceberg: bucket(n, conv_id) transform, same effect.)"""
+    from logspark.sources.tableio import write_bucketed
+
+    write_bucketed(transcripts, "t_bucketed", buckets=8)
+    t = spark.table("t_bucketed")
+
+    agg = t.groupBy("conv_id").count()
+    plan = _plan(agg)
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    joined = t.alias("a").join(spark.table("t_bucketed").alias("b"), "conv_id")
+    jplan = _plan(joined.select("conv_id"))
+    assert "Exchange hashpartitioning" not in jplan, jplan
+
+
 def test_pushdown_and_pruning_reach_scan(spark, tmp_path):
     p = str(tmp_path / "t.parquet")
     spark.range(1000).select(
