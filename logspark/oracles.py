@@ -126,6 +126,30 @@ WITH routed AS (
 
 ROUTER_FANOUT = _EVENT_ROUTED + "SELECT sink, event_id FROM routed"
 
+# O4 redis-sink payload: to_json of a struct — Spark and DuckDB emit the
+# identical compact {"k":v,...} byte sequence for integer/string fields
+# (floats avoided: floor→BIGINT keeps the payload engine-exact)
+SINK_PAYLOAD_JSON = """
+WITH routed AS (
+  SELECT 'clicks' AS sink, event_id, event_type, value FROM events
+  WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT 'conversions', event_id, event_type, value FROM events
+  WHERE event_type IN ('signup', 'purchase')
+  UNION ALL
+  SELECT 'errors_sink', event_id, event_type, value FROM events
+  WHERE event_type = 'error'
+  UNION ALL
+  SELECT 'hot', event_id, event_type, value FROM events WHERE value >= 400
+)
+SELECT sink,
+       to_json(struct_pack(
+         event_id := event_id,
+         event_type := event_type,
+         value_floor := CAST(floor(value) AS BIGINT))) AS payload
+FROM routed
+"""
+
 ROUTER_INDEX_TEMPLATE = """
 WITH routed AS (
   SELECT 'es_events' AS sink, event_id,
@@ -427,8 +451,9 @@ ORDER BY sim DESC, vec_id LIMIT 10
 EMBED_NEAR_DUPS = (
     _BUCKETS_CTE
     + f""",
-lv AS (SELECT b.vec_id AS a, v.v AS va, b.bucket FROM b JOIN v USING (vec_id)),
-rv AS (SELECT b.vec_id AS b_id, v.v AS vb, b.bucket FROM b JOIN v USING (vec_id))
+bc AS (SELECT * FROM b QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 64),
+lv AS (SELECT bc.vec_id AS a, v.v AS va, bc.bucket FROM bc JOIN v USING (vec_id)),
+rv AS (SELECT bc.vec_id AS b_id, v.v AS vb, bc.bucket FROM bc JOIN v USING (vec_id))
 SELECT a, b_id AS b, {_cos('va', 'vb')} AS sim
 FROM lv JOIN rv ON lv.bucket = rv.bucket AND lv.a < rv.b_id
 WHERE {_cos('va', 'vb')} >= 0.8
@@ -482,6 +507,7 @@ ORACLES: dict[str, str] = {
     "enrich_geo": ENRICH_GEO,
     "router_fanout": ROUTER_FANOUT,
     "router_index_template": ROUTER_INDEX_TEMPLATE,
+    "sink_payload_json": SINK_PAYLOAD_JSON,
     "sink_counts_hourly": SINK_COUNTS_HOURLY,
     "window_bucket_agg": WINDOW_BUCKET_AGG,
     "topk_users": TOPK_USERS,

@@ -394,7 +394,25 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(emb, threshold=0.8, n_anchors=6)
+    return similarity.embedding_near_dups(emb, threshold=0.8, n_anchors=6, max_bucket=64)
+
+
+def q_sink_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 redis-sink payload form: LPUSH payload = compact JSON of the
+    routed event (to_json over a struct — byte-identical across engines
+    for integer/string fields)."""
+    ev = ensure_tags(_t(spark, sf_dir, "events"))
+    routed = route(ev, EVENT_SINKS)
+    return routed.select(
+        "sink",
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                F.floor("value").cast("long").alias("value_floor"),
+            )
+        ).alias("payload"),
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,5 +461,6 @@ QUERIES = {
     "embed_ann_lsh": q_embed_ann_lsh,
     "embed_ivf_topk": q_embed_ivf_topk,
     "embed_near_dups": q_embed_near_dups,
+    "sink_payload_json": q_sink_payload_json,
     "multimodal_features": q_multimodal_features,
 }
