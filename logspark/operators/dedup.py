@@ -267,6 +267,44 @@ def ngram_jaccard(
     return out
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS algorithm): hash every k-gram, slide a window of w consecutive
+    hashes, keep each window's MINIMUM → a deterministic ~2/(w+1)-density
+    fingerprint set that guarantees any shared substring of length ≥ w+k-1
+    yields a shared fingerprint. Output: distinct (id, fingerprint).
+
+    Spark shape: positional k-grams via transform over an index sequence
+    (no UDF), explode, then min over a per-doc ROWS window — one shuffle on
+    doc_id (which a conv_id/doc-bucketed layout makes free). The portable
+    md5 hash keeps the DuckDB oracle value-identical."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(text_col), " ")
+    m = F.size(toks) - (k - 1)  # number of k-grams
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    grams = F.when(m >= 1, grams).otherwise(F.array())
+    pos = df.select(
+        F.col(id_col), F.posexplode(grams).alias("i", "gram"), m.alias("m")
+    ).withColumn("h", portable_hash60(F.col("gram")))
+    win = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
+    return (
+        pos.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("i") <= F.col("m") - w)  # complete windows only
+        .select(F.col(id_col), F.col("fp").alias("fingerprint"))
+        .distinct()
+    )
+
+
 def simhash_bands(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -354,6 +354,28 @@ WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
 """
 )
 
+# winnowing (MOSS): min over each w=4 window of 5-gram hashes, complete
+# windows only, distinct per doc — same window frame in both engines
+WINNOW_FINGERPRINTS = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         len(toks) - 4 AS m,
+         unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+  FROM w
+),
+h AS (
+  SELECT g.doc_id, g.i, g.m,
+         {H60.format(s="array_to_string(list_slice(w.toks, g.i, g.i + 4), ' ')")} AS h
+  FROM g JOIN w USING (doc_id)
+)
+SELECT DISTINCT doc_id,
+       MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+FROM h
+QUALIFY i <= m - 3
+"""
+
 SIMHASH = f"""
 SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
          CASE WHEN list_sum(list_transform(hs,
@@ -526,6 +548,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_verified": NGRAM_JACCARD_VERIFIED,
     "simhash": SIMHASH,
     "simhash_bands": SIMHASH_BANDS,
+    "winnow_fingerprints": WINNOW_FINGERPRINTS,
     "embed_cosine_topk": EMBED_COSINE_TOPK,
     "embed_ann_lsh": EMBED_ANN_LSH,
     "embed_ivf_topk": EMBED_IVF_TOPK,

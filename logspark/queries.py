@@ -365,6 +365,13 @@ def q_ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard(docs, threshold=0.5, candidates=cand)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing: guaranteed-overlap document fingerprints at
+    ~2/(w+1) density — the rolling-hash fingerprinting family."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, k=5, w=4)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return textops.with_simhash(docs).select("doc_id", "simhash")
@@ -457,6 +464,7 @@ QUERIES = {
     "ngram_jaccard_verified": q_ngram_jaccard_verified,
     "simhash": q_simhash,
     "simhash_bands": q_simhash_bands,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_ann_lsh": q_embed_ann_lsh,
     "embed_ivf_topk": q_embed_ivf_topk,

@@ -119,6 +119,28 @@ def test_banded_bucket_cap_bounds_pairs(spark):
     assert all(r["a"] >= 1000 for r in sh_capped.collect())
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: any shared token run of length >= w+k-1 (= 8
+    here) produces at least one SHARED fingerprint; disjoint docs don't."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"doc one starts here {shared} and then ends differently"),
+        (2, f"totally other opening words {shared} closing remarks now"),
+        (3, "no overlap with anything else at all whatsoever in here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fp = dedup.winnow_fingerprints(df, k=5, w=4)
+    by_doc = {
+        i: {r["fingerprint"] for r in fp.filter(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2]  # shared run → shared fingerprint
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: far fewer fingerprints than k-grams
+    n_grams = len(rows[0][1].split()) - 4
+    assert len(by_doc[1]) < n_grams
+
+
 def test_ngram_jaccard_bounds(docs):
     out = dedup.ngram_jaccard(docs.limit(40))
     bad = out.filter((F.col("jaccard") <= 0) | (F.col("jaccard") > 1)).count()
