@@ -125,8 +125,14 @@ def test_bucketed_layout_removes_shuffles(spark, transcripts):
     the per-conversation aggregate and a self-join on conv_id plan WITHOUT
     a shuffle Exchange — the storage layout pays the shuffle once at
     ingest. (Iceberg: bucket(n, conv_id) transform, same effect.)"""
+    import shutil
+
     from logspark.sources.tableio import write_bucketed
 
+    spark.sql("DROP TABLE IF EXISTS t_bucketed")
+    # a previous session's warehouse dir survives the in-memory catalog;
+    # saveAsTable refuses to create over a stale location
+    shutil.rmtree("spark-warehouse/t_bucketed", ignore_errors=True)
     write_bucketed(transcripts, "t_bucketed", buckets=8)
     t = spark.table("t_bucketed")
 
