@@ -27,7 +27,7 @@ from logspark.queries import QUERIES, q_pipeline_sink_counts  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the full parse→route→aggregate pipeline (grok pandas UDF,
+    """Flagship: the full parse→route→aggregate pipeline (JVM-native grok,
     tag routing, per-sink (conv_id, hour-bucket) counts) on sf0.001."""
     return q_pipeline_sink_counts(spark, "/root/testdata/sf0.001")
 
