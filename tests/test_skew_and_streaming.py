@@ -112,6 +112,63 @@ def test_lines_to_transcripts_codecs(spark):
     assert all(r["conv_id"] == "push" and r["turn_idx"] is not None for r in p)
 
 
+def test_push_source_socket_stream(spark, tmp_path, dims):
+    """S3 push input driven over a REAL TCP socket: a local server thread
+    pushes JSON transcript lines (the http/redis forwarder wire shape);
+    the socket source + json line codec feed the full pipeline."""
+    import json as _json
+    import socket
+    import threading
+    import time
+
+    from logspark.streaming import stream_pipeline, stream_source
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+    n_lines = 50
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            for i in range(n_lines):
+                line = _json.dumps({
+                    "conv_id": f"s{i % 5}", "turn_idx": i, "role": "user",
+                    "text": '{"k": %d}' % (i * 7), "tool": "push",
+                    "ts": "2024-02-11 09:15:32",
+                })
+                conn.sendall((line + "\n").encode())
+            time.sleep(8)  # keep the connection up while batches drain
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    src = stream_source(spark, {"type": "socket", "host": "127.0.0.1", "port": port, "codec": "json"})
+    sink_root = str(tmp_path / "out")
+    q = stream_pipeline(
+        spark, canonical_config(), None, sink_root, str(tmp_path / "ckpt"),
+        dims=dims, available_now=False, source=src,
+    )
+    try:
+        deadline = time.time() + 60
+        seen = 0
+        while time.time() < deadline and seen < n_lines:
+            time.sleep(2)
+            try:
+                seen = spark.read.parquet(f"{sink_root}/routed").count()
+            except Exception:
+                seen = 0
+    finally:
+        q.stop()
+    srv.close()
+    routed = spark.read.parquet(f"{sink_root}/routed")
+    rows = {r["turn_idx"]: r for r in routed.collect()}
+    assert len(rows) == n_lines
+    assert all(r["sink"] == "raw" and r["k"] == i * 7 for i, r in rows.items())
+
+
 def test_push_source_rate_stream(spark, tmp_path, dims):
     """S3 landing spot: synthetic push traffic (rate source → json codec →
     transcripts) through the full pipeline; the socket source shares this
