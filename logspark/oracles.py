@@ -189,6 +189,29 @@ DISTINCT_USERS = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1
 """
 
+CONVERSATION_SESSIONS = """
+WITH t AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx, ts
+  FROM events
+), l AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                     (PARTITION BY conv_id ORDER BY ts, turn_idx) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM t
+), s AS (
+  SELECT conv_id, ts,
+         SUM(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM l
+)
+SELECT conv_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_turns, MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY 1, 2
+"""
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -535,6 +558,7 @@ ORACLES: dict[str, str] = {
     "topk_users": TOPK_USERS,
     "turn_sequence_lag": TURN_SEQUENCE_LAG,
     "distinct_users": DISTINCT_USERS,
+    "conversation_sessions": CONVERSATION_SESSIONS,
     "token_stats": TOKEN_STATS,
     "quality_scores": QUALITY_SCORES,
     "lang_id": LANG_ID,

@@ -287,6 +287,15 @@ def q_turn_sequence_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversation_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows over conversations (30-min idle gap) —
+    lag + running-sum in one conv_id shuffle."""
+    from logspark.operators.aggregates import sessionize
+
+    t = transcripts_from_events(spark, sf_dir)
+    return sessionize(t, gap_minutes=30)
+
+
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
@@ -451,6 +460,7 @@ QUERIES = {
     "topk_users": q_topk_users,
     "turn_sequence_lag": q_turn_sequence_lag,
     "distinct_users": q_distinct_users,
+    "conversation_sessions": q_conversation_sessions,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
