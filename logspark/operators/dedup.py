@@ -280,29 +280,30 @@ def winnow_fingerprints(
     fingerprint set that guarantees any shared substring of length ≥ w+k-1
     yields a shared fingerprint. Output: distinct (id, fingerprint).
 
-    Spark shape: positional k-grams via transform over an index sequence
-    (no UDF), explode, then min over a per-doc ROWS window — one shuffle on
-    doc_id (which a conv_id/doc-bucketed layout makes free). The portable
-    md5 hash keeps the DuckDB oracle value-identical."""
-    from pyspark.sql.window import Window
-
+    Spark shape: ZERO shuffle. A document's k-grams all live in its own
+    row, so the whole pipeline — k-grams, hashes, per-window minima,
+    per-doc dedup — is one narrow array projection (transform/array_min/
+    array_distinct) followed by an explode. (A windowed-aggregate form
+    would shuffle every k-gram hash on doc_id — at 100 TB that shuffle
+    dwarfs the hashing, the same lesson as the minhash kernel.) The
+    portable md5 hash keeps the DuckDB oracle value-identical."""
     toks = F.split(F.col(text_col), " ")
     m = F.size(toks) - (k - 1)  # number of k-grams
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(m - 1, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
-    grams = F.when(m >= 1, grams).otherwise(F.array())
-    pos = df.select(
-        F.col(id_col), F.posexplode(grams).alias("i", "gram"), m.alias("m")
-    ).withColumn("h", portable_hash60(F.col("gram")))
-    win = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
-    return (
-        pos.withColumn("fp", F.min("h").over(win))
-        .filter(F.col("i") <= F.col("m") - w)  # complete windows only
-        .select(F.col(id_col), F.col("fp").alias("fingerprint"))
-        .distinct()
-    )
+    hashes = F.transform(grams, portable_hash60)
+    fps = F.when(
+        m >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), m - w),
+                lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
 
 
 def simhash_bands(
