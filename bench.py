@@ -40,7 +40,9 @@ HEADLINE = [
     "sink_counts_hourly",
     "window_bucket_agg",
     "router_index_template",
+    "conversation_sessions",
     "dedup_exact",
+    "winnow_fingerprints",
     "minhash_signatures",
     "lsh_candidates",
     "lsh_candidates_capped",

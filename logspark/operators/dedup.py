@@ -282,28 +282,62 @@ def winnow_fingerprints(
 
     Spark shape: ZERO shuffle. A document's k-grams all live in its own
     row, so the whole pipeline — k-grams, hashes, per-window minima,
-    per-doc dedup — is one narrow array projection (transform/array_min/
-    array_distinct) followed by an explode. (A windowed-aggregate form
-    would shuffle every k-gram hash on doc_id — at 100 TB that shuffle
-    dwarfs the hashing, the same lesson as the minhash kernel.) The
-    portable md5 hash keeps the DuckDB oracle value-identical."""
-    toks = F.split(F.col(text_col), " ")
-    m = F.size(toks) - (k - 1)  # number of k-grams
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(m - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    per-doc dedup — is one narrow Arrow-batched numpy kernel followed by
+    an explode. Two rejected alternatives, both measured at sf0.1:
+    a windowed aggregate shuffles every k-gram hash on doc_id (the
+    100 TB killer), and native array lambdas (transform/array_min/slice)
+    are interpreted per element — 103 s vs ~2 s for this kernel (same
+    lesson as the minhash kernel, BENCH/NOTES.md fix 7). The portable
+    md5-derived hash keeps the DuckDB oracle value-identical."""
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    udf = F.pandas_udf(_make_winnow_kernel(k, w), "array<bigint>", PandasUDFType.SCALAR)
+    return df.select(
+        F.col(id_col), F.explode(udf(F.col(text_col))).alias("fingerprint")
     )
-    hashes = F.transform(grams, portable_hash60)
-    fps = F.when(
-        m >= w,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), m - w),
-                lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+
+
+def _make_winnow_kernel(k: int, w: int):
+    """Arrow batch of text → array of winnowing fingerprints per doc:
+    memoized md5 k-gram hashes (grams repeat across docs), sliding-window
+    minima via one strided numpy view per doc, np.unique for the per-doc
+    dedup. No per-row Python beyond the gram join."""
+
+    def kernel(s):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def h60(g: str) -> int:
+            v = memo.get(g)
+            if v is None:
+                v = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                memo[g] = v
+            return v
+
+        out = []
+        for text in s:
+            if text is None:
+                out.append([])
+                continue
+            toks = text.split(" ")
+            m = len(toks) - (k - 1)
+            if m < w:
+                out.append([])
+                continue
+            hh = np.fromiter(
+                (h60(" ".join(toks[i : i + k])) for i in range(m)),
+                dtype=np.int64,
+                count=m,
             )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return df.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+            mins = np.lib.stride_tricks.sliding_window_view(hh, w).min(axis=1)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    return kernel
 
 
 def simhash_bands(
