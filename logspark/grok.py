@@ -345,6 +345,14 @@ class CompiledGrok:
 # Unicode. This matches Go's RE2 (the reference engine) and every oracle
 # (DuckDB RE2), so ASCII-class behavior is the CORRECT parity target; a
 # config can force engine="pandas" for Unicode-class matching.
+#
+# Line-terminator parity: every emitted Java regex is prefixed with (?d)
+# (UNIX_LINES), so '.', '^', '$' treat ONLY \n as a line terminator — the
+# Python re / RE2 semantics. Without it, Java's default '.' also excludes
+# \r, U+0085, U+2028, U+2029, silently truncating DATA/GREEDYDATA captures
+# at a stray \r and failing anchor='both' matches entirely (ADVICE r2).
+
+JAVA_FLAGS = "(?d)"
 
 _QUANT_RE = re.compile(r"\{\d+(?:,\d*)?\}")
 _NAMED_GROUP_RE = re.compile(r"\(\?P<(g\d+|gALL)>")
@@ -387,6 +395,16 @@ def _java_convert(py_regex: str) -> tuple[str, dict[str, int]] | None:
             i += 1
             continue
         if c == "[":
+            # Python's class scanner treats a ']' right after '[' or '[^' as a
+            # LITERAL member ('[]x]' is valid); Java rejects that form and this
+            # scanner would end the class early — mis-shifting group indices or
+            # emitting a regex Java rejects at task runtime (ADVICE r2). Those
+            # patterns take the pandas path.
+            j = i + 1
+            if j < n and py_regex[j] == "^":
+                j += 1
+            if j < n and py_regex[j] == "]":
+                return None
             in_class = True
             out.append(c)
             i += 1
@@ -445,8 +463,14 @@ def _participation(java_regex: str) -> dict[int, bool]:
             i += 1
             continue
         if c == "[":
+            # defensive mirror of _java_convert's literal-first-']' rule:
+            # skip a leading (possibly negated) ']' so it can't end the class
             in_class = True
             i += 1
+            if i < n and java_regex[i] == "^":
+                i += 1
+            if i < n and java_regex[i] == "]":
+                i += 1
             continue
         if c == "(":
             capturing = not java_regex.startswith("(?", i)
@@ -511,7 +535,8 @@ def _cached_compile_java(
             if gi is None or not part.get(gi, False):
                 return None
             caps.append(JavaCapture(f.name, f.type, gi))
-        out.append(JavaGrokPattern(jre, caps))
+        # UNIX_LINES last: participation analysis runs on the flag-free body
+        out.append(JavaGrokPattern(JAVA_FLAGS + jre, caps))
     return tuple(out)
 
 

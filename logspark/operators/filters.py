@@ -218,10 +218,15 @@ def _grok_native(
             # result: [\s\S]* swallows the unmatched tail (and, for
             # unanchored patterns, a lazy head swallows the prefix) without
             # perturbing capture values — it always succeeds on whatever
-            # the original pattern left over
-            consume = p.regex + r"[\s\S]*"
-            if not p.regex.startswith("^"):
+            # the original pattern left over. The (?d) UNIX_LINES flag must
+            # stay at position 0 (it applies from where it appears).
+            from logspark.grok import JAVA_FLAGS
+
+            body = p.regex.removeprefix(JAVA_FLAGS)
+            consume = body + r"[\s\S]*"
+            if not body.startswith("^"):
                 consume = r"[\s\S]*?" + consume
+            consume = JAVA_FLAGS + consume
             pc = f"_gp{i}"
             df = df.withColumn(
                 pc,

@@ -30,19 +30,32 @@ def hot_keys(
     threshold: float = 0.001,
     sample_fraction: float | None = 0.05,
 ) -> list[str]:
-    """Keys whose (sampled) row share exceeds `threshold`."""
+    """Keys whose (sampled) row share exceeds `threshold` — ONE Spark job.
+
+    The total rides the same job as an `observe` metric on the groupBy
+    input (no separate count() scan — r2 ran two jobs). The candidate set
+    is bounded structurally: at most floor(1/threshold) keys can each hold
+    more than a `threshold` share, so orderBy+limit (TakeOrderedAndProject:
+    per-partition top-k, merged on the driver — no global sort shuffle)
+    collects at most that many rows regardless of key cardinality; the
+    share filter then applies driver-side with the observed total."""
+    from pyspark.sql import Observation
+
     sampled = df.sample(sample_fraction, seed=42) if sample_fraction else df
-    total = sampled.count()
-    if total == 0:
-        return []
-    hot = (
+    obs = Observation()
+    sampled = sampled.observe(obs, F.count(F.lit(1)).alias("total"))
+    cap = int(1.0 / threshold) + 1
+    top = (
         sampled.groupBy(key)
         .count()
-        .filter(F.col("count") > total * threshold)
-        .select(key)
+        .orderBy(F.col("count").desc(), F.col(key))
+        .limit(cap)
         .collect()
     )
-    return [r[0] for r in hot]
+    total = int(obs.get["total"])
+    if total == 0:
+        return []
+    return [r[0] for r in top if r["count"] > total * threshold]
 
 
 def salted_counts(

@@ -113,6 +113,74 @@ def build(
     return BuiltPipeline(parsed=parsed, routed=routed, counts=counts, observation=obs)
 
 
+class WriterLock:
+    """Single-writer lock over a sink_root.
+
+    The orphan-run GC in `run()` deletes every runs/<id> directory absent
+    from the manifest — correct for crashed-run debris, but a CONCURRENT
+    in-flight run over the same sink_root (watch agent + ad-hoc run, or two
+    watchers) has not committed yet and would be reaped mid-write: silent
+    data loss (ADVICE r2). logspark therefore enforces one writer per
+    sink_root: `run()` acquires this lock for the write+GC+commit span and
+    REFUSES (clear error, no deletion) if another live process holds it.
+    A lock left by a dead process (crash) is stolen — liveness comes from
+    the recorded pid, not a timeout, so there is no tuning knob to get
+    wrong. Multi-node note: on a shared filesystem the pid check is only
+    valid per-host; a cluster deployment swaps this seam for a lease in the
+    metastore/catalog (Iceberg commits give this for free)."""
+
+    def __init__(self, sink_root: str):
+        os.makedirs(sink_root, exist_ok=True)
+        self.path = os.path.join(sink_root, ".writer.lock")
+        self.acquired = False
+
+    def _pid_alive(self, pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        return True
+
+    def __enter__(self) -> "WriterLock":
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                self.acquired = True
+                return self
+            except FileExistsError:
+                try:
+                    holder = int(open(self.path).read().strip() or "0")
+                except (OSError, ValueError):
+                    holder = 0
+                if holder == os.getpid():
+                    # re-entrant within the process (watch() ticks call run())
+                    return self
+                if holder and self._pid_alive(holder):
+                    raise RuntimeError(
+                        f"sink_root {os.path.dirname(self.path)!r} is locked by "
+                        f"live writer pid {holder}; logspark enforces a single "
+                        "writer per sink_root (concurrent runs would race the "
+                        "orphan-run GC)"
+                    )
+                # stale lock from a dead process — steal it
+                try:
+                    os.unlink(self.path)
+                except FileNotFoundError:
+                    pass
+
+    def __exit__(self, *exc) -> None:
+        if self.acquired:
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+            self.acquired = False
+
+
 def watch(
     spark: SparkSession,
     config_path: str,
@@ -138,7 +206,25 @@ def watch(
     i = 0
     while max_iterations is None or i < max_iterations:
         cfg = PipelineConfig.load(config_path)  # hot reload, every tick
-        table = next(c["table"] for c in cfg.input if c["type"] == "table")
+        tables = [c["table"] for c in cfg.input if c["type"] == "table"]
+        if not tables:
+            # a hot-reloaded config without a table input must not kill the
+            # long-running agent with a bare StopIteration (ADVICE r2); the
+            # tick is skipped with a diagnosable warning and the NEXT reload
+            # picks up the fixed config — reference agents survive bad
+            # config pushes the same way
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "watch(): config %r has no input section of type 'table'; "
+                "skipping this tick (fix the config — the next tick reloads it)",
+                config_path,
+            )
+            i += 1
+            if max_iterations is None or i < max_iterations:
+                time.sleep(interval_s)
+            continue
+        table = tables[0]
         pending = mf.pending_files(io.input_files(spark, table), mf.load_manifest(sink_root))
         if pending:
             rid = "w-" + hashlib.md5("\n".join(sorted(pending)).encode()).hexdigest()[:12]
@@ -159,7 +245,24 @@ def run(
     incremental: bool = True,
 ) -> RunResult:
     """Execute: resume-aware read → routed write (partitioned by sink) →
-    counts write → manifest commit with lineage + metrics."""
+    counts write → manifest commit with lineage + metrics.
+
+    Holds the sink_root WriterLock for the whole manifest-read → GC →
+    write → commit span: the orphan-run GC is only safe when no other
+    writer is in flight (single-writer invariant, see WriterLock)."""
+    with WriterLock(sink_root):
+        return _run_locked(spark, cfg, io, sink_root, run_id, dims, incremental)
+
+
+def _run_locked(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    io: ParquetIO,
+    sink_root: str,
+    run_id: str,
+    dims: dict[str, DataFrame] | None,
+    incremental: bool,
+) -> RunResult:
     table = next(i["table"] for i in cfg.input if i["type"] == "table")
     all_files = io.input_files(spark, table)
     m = mf.load_manifest(sink_root)

@@ -138,9 +138,12 @@ def test_java_emission_positional_groups():
     caps = {c.name: c for c in jp[0].captures}
     assert caps["tool"].gidx == 1 and caps["ms"].gidx == 2
     assert caps["ms"].type == "int"
-    # the emitted regex is also valid Python (shared subset) — verify the
-    # positional indices really line up with the named-group compiler
-    m = _re.compile(jp[0].regex).search("tool=search ms=42")
+    # every emitted regex carries the UNIX_LINES flag so Java '.'/'^'/'$'
+    # treat only \n as a line terminator (Python/RE2 parity, ADVICE r2)
+    assert jp[0].regex.startswith("(?d)")
+    # past the Java-only flag, the emitted regex is also valid Python
+    # (shared subset) — verify the positional indices really line up
+    m = _re.compile(jp[0].regex.removeprefix("(?d)")).search("tool=search ms=42")
     assert m and m.group(1) == "search" and m.group(2) == "42"
 
 
@@ -155,7 +158,7 @@ def test_java_emission_counts_plain_user_groups():
     # (alternation INSIDE the plain group is fine; the semantic capture is
     # outside it, so this pattern is eligible)
     assert jp is not None
-    m = _re.compile(jp[0].regex).search("ab v=7")
+    m = _re.compile(jp[0].regex.removeprefix("(?d)")).search("ab v=7")
     assert m and m.group(jp[0].captures[0].gidx) == "7"
 
 
@@ -169,3 +172,8 @@ def test_java_emission_rejects_unsafe():
     assert compile_grok_java([r"(x)\2 %{INT:k:int}"]) is None  # backreference
     # quantified-but-mandatory enclosing group is fine
     assert compile_grok_java([r"(?:%{INT:k:int}){1}"]) is not None
+    # literal-first-']' character classes ('[]x]' / '[^]x]') are valid Python
+    # but Java rejects them and the class scanner would end the class early,
+    # shifting group indices — they must take the pandas path (ADVICE r2)
+    assert compile_grok_java([r"[]x]%{INT:k:int}"]) is None
+    assert compile_grok_java([r"[^]x]%{INT:k:int}"]) is None

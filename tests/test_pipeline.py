@@ -201,6 +201,51 @@ def test_run_gc_orphans_and_run_id_safety(spark, tiny_pdf, tmp_path, dims, mem_c
     assert len(res2.input_files) == 1  # only the new file
 
 
+def test_writer_lock_blocks_concurrent_and_steals_stale(spark, tiny_pdf, tmp_path, dims):
+    """Single-writer invariant (ADVICE r2): a sink_root locked by a LIVE
+    writer refuses a second run() — crucially BEFORE the orphan-run GC can
+    delete the live writer's in-flight runs/<id> directory. A lock left by
+    a dead process is stolen and the run proceeds."""
+    import os
+    import subprocess
+
+    from logspark.sources.tableio import ParquetIO
+
+    in_dir = tmp_path / "in" / "transcripts.parquet"
+    in_dir.mkdir(parents=True)
+    tiny_pdf.iloc[:300].to_parquet(
+        in_dir / "part-0.parquet", coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    io = ParquetIO(str(tmp_path / "in"))
+    cfg = canonical_config()
+    sink_root = str(tmp_path / "out")
+
+    # an in-flight (uncommitted) run dir of the concurrent writer
+    inflight = tmp_path / "out" / "runs" / "other-writers-run" / "routed"
+    inflight.mkdir(parents=True)
+    (inflight / "part").write_text("x")
+
+    live = subprocess.Popen(["sleep", "60"])
+    try:
+        os.makedirs(sink_root, exist_ok=True)
+        with open(os.path.join(sink_root, ".writer.lock"), "w") as f:
+            f.write(str(live.pid))
+        with pytest.raises(RuntimeError, match="locked by live writer"):
+            pipeline.run(spark, cfg, io, sink_root, run_id="mine", dims=dims)
+        # the refusal happened before GC: the live writer's dir survived
+        assert (inflight / "part").exists()
+    finally:
+        live.kill()
+        live.wait()
+
+    # the holder is now dead → the lock is stale → stolen, run proceeds,
+    # and the (now genuinely orphaned) dir is reaped
+    res = pipeline.run(spark, cfg, io, sink_root, run_id="mine", dims=dims)
+    assert res.sink_rows["parsed"] > 0
+    assert not inflight.exists()
+    assert not os.path.exists(os.path.join(sink_root, ".writer.lock"))
+
+
 def test_files_per_sink_caps_output_file_count(spark, tiny_pdf, tmp_path, dims):
     """write.files_per_sink bounds the routed write's file count (default
     dynamic-partition write yields tasks x sinks files) without changing

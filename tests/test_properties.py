@@ -183,3 +183,36 @@ def test_native_engine_equals_pandas_engine(spark, lines):
     pan = apply_filter_chain(df, [dict(base, engine="pandas")]).select(*cols).collect()
     for a, b in zip(sorted(nat), sorted(pan)):
         assert a == b, (a, b)
+
+
+def test_native_engine_carriage_return_parity(spark):
+    """Deterministic \\r regression (ADVICE r2): without (?d) UNIX_LINES,
+    Java's '.' excludes \\r so DATA/GREEDYDATA captures truncate at a stray
+    carriage return and anchor='both' patterns fail to match entirely —
+    while the pandas/reference path (Python re, RE2) excludes only \\n."""
+    from logspark.operators.filters import apply_filter_chain
+
+    lines = [
+        "ev k=1 d=a\rb rest=x\ry",   # \r inside both DATA and GREEDYDATA
+        "ev k=2 d=\r rest=\r",        # captures that are exactly \r
+        "head\rmid tail",             # \r inside NOTSPACE-adjacent text
+        "ev k=3 d=ok rest=plain",     # control row, no \r
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(lines)], "rid int, text string")
+    for anchor in ("start", "both"):
+        base = {
+            "type": "grok",
+            "match": [r"ev k=%{INT:k:int} d=%{DATA:d} rest=%{GREEDYDATA:rest}"],
+            "anchor": anchor,
+            "accumulators": False,
+        }
+        cols = ["rid", "k", "d", "rest", "tags"]
+        nat = apply_filter_chain(df, [dict(base, engine="native")]).select(*cols).collect()
+        pan = apply_filter_chain(df, [dict(base, engine="pandas")]).select(*cols).collect()
+        assert sorted(nat) == sorted(pan), (anchor, sorted(nat), sorted(pan))
+    # and the \r rows really do match (not just agree-on-failure)
+    out = apply_filter_chain(df, [dict(base, engine="native")])
+    import pyspark.sql.functions as F
+
+    matched = out.filter(~F.array_contains("tags", "_grokparsefailure")).count()
+    assert matched == 3  # rows 0, 1, 3 ("head\rmid tail" lacks the ev prefix)
