@@ -377,6 +377,53 @@ WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
 """
 )
 
+# verified near-dup pairs as a reusable CTE chain (ends in `vp(a, b)`) —
+# same lineage as NGRAM_JACCARD_VERIFIED's result at threshold 0.5
+_VERIFIED_PAIRS_CTES = (
+    _SHINGLES_CTE
+    + ",\n"
+    + _lsh_ctes(max_bucket=20)
+    + """,
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+vp AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN cand c ON i.a = c.a AND i.b = c.b
+  JOIN sz sa ON sa.doc_id = i.a
+  JOIN sz sb ON sb.doc_id = i.b
+  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
+)"""
+)
+
+# connected components over the verified pairs: recursive reachability →
+# component id = MIN reachable doc_id (matches dedup.connected_components'
+# min-label fixpoint exactly — both are "min node id in my component")
+_CC_TAIL = """,
+und AS (SELECT a AS s, b AS d FROM vp UNION SELECT b, a FROM vp),
+reach(node, r) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.node
+),
+cc AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+"""
+
+_RECURSIVE_PAIRS = "WITH RECURSIVE " + _VERIFIED_PAIRS_CTES.lstrip().removeprefix("WITH ")
+
+DEDUP_CLUSTERS = _RECURSIVE_PAIRS + _CC_TAIL + "SELECT node AS doc_id, cluster_id FROM cc"
+
+DEDUP_APPLY = (
+    _RECURSIVE_PAIRS
+    + _CC_TAIL
+    + """SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)"""
+)
+
 # winnowing (MOSS): min over each w=4 window of 5-gram hashes, complete
 # windows only, distinct per doc — same window frame in both engines
 WINNOW_FINGERPRINTS = f"""
@@ -570,6 +617,8 @@ ORACLES: dict[str, str] = {
     "lsh_candidates_capped": LSH_CANDIDATES_CAPPED,
     "ngram_jaccard": NGRAM_JACCARD,
     "ngram_jaccard_verified": NGRAM_JACCARD_VERIFIED,
+    "dedup_clusters": DEDUP_CLUSTERS,
+    "dedup_apply": DEDUP_APPLY,
     "simhash": SIMHASH,
     "simhash_bands": SIMHASH_BANDS,
     "winnow_fingerprints": WINNOW_FINGERPRINTS,

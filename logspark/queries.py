@@ -374,6 +374,30 @@ def q_ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard(docs, threshold=0.5, candidates=cand)
 
 
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical near-dup pair set: MinHash → capped LSH → exact
+    Jaccard ≥ 0.5 on candidates (same lineage as q_ngram_jaccard_verified)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_hashes=16)
+    cand = dedup.lsh_candidates(sigs, n_hashes=16, bands=4, max_bucket=20)
+    return dedup.ngram_jaccard(docs, threshold=0.5, candidates=cand)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → decisions, step 1: connected components over the verified
+    near-dup pairs; cluster_id = min doc_id of the component (the keeper)."""
+    ensure_workers(spark)
+    return dedup.dedup_clusters(_verified_pairs(spark, sf_dir))
+
+
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → decisions, step 2: the surviving corpus — each cluster keeps
+    its min-id member, unclustered docs pass through."""
+    ensure_workers(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_apply(docs, _verified_pairs(spark, sf_dir)).select("doc_id")
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing: guaranteed-overlap document fingerprints at
     ~2/(w+1) density — the rolling-hash fingerprinting family."""
@@ -472,6 +496,8 @@ QUERIES = {
     "lsh_candidates_capped": q_lsh_candidates_capped,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_verified": q_ngram_jaccard_verified,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_apply": q_dedup_apply,
     "simhash": q_simhash,
     "simhash_bands": q_simhash_bands,
     "winnow_fingerprints": q_winnow_fingerprints,

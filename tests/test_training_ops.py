@@ -147,6 +147,97 @@ def test_ngram_jaccard_bounds(docs):
     assert bad == 0
 
 
+def test_connected_components_equals_union_find(spark):
+    """dedup.connected_components vs a reference union-find, on random
+    graphs drawn by hypothesis — including long chains (the pointer-
+    doubling stress case) and disjoint cliques (the dedup-typical case)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from logspark.operators.dedup import connected_components
+
+    def uf_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # component id = min node in component
+        comp = {}
+        for n in nodes:
+            r = find(n)
+            comp.setdefault(r, []).append(n)
+        return {n: min(members) for r, members in comp.items() for n in members}
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda t: t[0] != t[1]),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    def check(edges):
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], "a bigint, b bigint"
+        )
+        got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        nodes = {n for e in edges for n in e}
+        assert got == uf_components(edges, nodes)
+
+    check()
+    # deterministic chain: worst case for plain propagation, log-rounds here
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)], "a bigint, b bigint")
+    got = {r["node"]: r["component"] for r in connected_components(chain).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_dedup_apply_partition_invariants(spark, docs):
+    """dedup_apply turns pairs into decisions correctly: survivors and
+    dropped partition the corpus; each cluster keeps exactly its min-id
+    member; every dropped doc shares a verified pair with a member of its
+    own cluster (it was not dropped by accident of labeling)."""
+    sigs = dedup.minhash_signatures(docs, n_hashes=16)
+    cand = dedup.lsh_candidates(sigs, n_hashes=16, bands=4, max_bucket=20)
+    pairs = dedup.ngram_jaccard(docs, threshold=0.5, candidates=cand).cache()
+
+    clusters = dedup.dedup_clusters(pairs).cache()
+    surviving = dedup.dedup_apply(docs, pairs).cache()
+
+    n_docs = docs.count()
+    cl = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    surv = {r["doc_id"] for r in surviving.select("doc_id").collect()}
+    dropped = {d for d, c in cl.items() if d != c}
+    assert len(cl) > 0 and len(dropped) > 0  # non-vacuous on this corpus
+
+    # partition: survivors ∪ dropped = corpus, disjoint
+    assert len(surv) + len(dropped) == n_docs
+    assert not (surv & dropped)
+    # exactly one survivor per cluster, and it is the min member
+    by_cluster: dict = {}
+    for d, c in cl.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        assert min(members) == c
+        assert [m for m in members if m in surv] == [c]
+    # every dropped doc has a verified pair with a same-cluster member
+    plist = [(r["a"], r["b"]) for r in pairs.collect()]
+    nbrs: dict = {}
+    for a, b in plist:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for d in dropped:
+        assert any(cl.get(n) == cl[d] for n in nbrs.get(d, ())), d
+    pairs.unpersist(); clusters.unpersist(); surviving.unpersist()
+
+
 def test_cosine_topk_matches_numpy(emb):
     import numpy as np
 
