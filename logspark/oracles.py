@@ -548,7 +548,7 @@ lv AS (SELECT bc.vec_id AS a, v.v AS va, bc.bucket FROM bc JOIN v USING (vec_id)
 rv AS (SELECT bc.vec_id AS b_id, v.v AS vb, bc.bucket FROM bc JOIN v USING (vec_id))
 SELECT a, b_id AS b, {_cos('va', 'vb')} AS sim
 FROM lv JOIN rv ON lv.bucket = rv.bucket AND lv.a < rv.b_id
-WHERE {_cos('va', 'vb')} >= 0.8
+WHERE {_cos('va', 'vb')} >= 0.35
 """
 )
 

@@ -433,8 +433,12 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """threshold=0.35, not a production 0.9+: the synthetic embeddings are
+    near-isotropic (max within-bucket cosine ≈ 0.47 at sf0.01), so a high
+    threshold made this oracle vacuously green at 0 rows (VERDICT r2 #1);
+    0.35 yields a real, hash-checked pair set at every test SF."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(emb, threshold=0.8, n_anchors=6, max_bucket=64)
+    return similarity.embedding_near_dups(emb, threshold=0.35, n_anchors=6, max_bucket=64)
 
 
 def q_sink_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,3 +158,99 @@ def test_pushdown_and_pruning_reach_scan(spark, tmp_path):
     assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters")[1][:80], plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "unused" not in read_schema, read_schema
+
+
+def test_ivf_assignment_is_broadcast_join_not_literal_chain(spark):
+    """Scale-true IVF (VERDICT r2 #2): cell assignment must be ONE
+    broadcast join against a centroid DataFrame — not the r2 literal
+    when-chain whose expression tree grew O(n_centroids x dim). Asserted
+    at n_anchors=64: the plan holds exactly one broadcast join, no CASE
+    chain over centroids, and a size that cannot be hiding inlined
+    centroid literals."""
+    import numpy as np
+
+    from logspark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    cents = similarity.head_centroids(emb, 64)
+    assigned = similarity.ivf_assign(emb, cents)
+    plan = _plan(assigned)
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") == 1, plan
+    assert "CASE WHEN" not in plan, "literal when-chain resurfaced"
+    # 64 centroids x 16 dims inlined as literals would dwarf this bound
+    assert len(plan) < 20_000, f"plan unexpectedly large: {len(plan)} chars"
+    # and it actually executes: every vector lands in exactly one cell
+    n = assigned.count()
+    assert n == 300
+    assert assigned.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+
+    # end-to-end at 64 centroids without plan blow-up
+    got = similarity.ivf_topk(emb, query_id=0, n_anchors=64, nprobe=8, k=5)
+    assert got.count() == 5
+
+
+def test_ivf_vectorized_kernel_matches_declarative(spark):
+    """The zero-shuffle numpy assignment kernel (production path) agrees
+    with the declarative broadcast-join argmax on every row."""
+    import numpy as np
+
+    from logspark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(12).tolist()) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = similarity.head_centroids(emb, 16)
+
+    a = {r["vec_id"]: r["cell"] for r in similarity.ivf_assign(emb, cents).collect()}
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign_vectorized(emb, cents).collect()
+    }
+    assert a == b
+    # and the vectorized plan is narrow: no Exchange anywhere
+    vplan = _plan(similarity.ivf_assign_vectorized(emb, cents))
+    assert "Exchange" not in vplan, vplan
+
+
+def test_ivf_kmeans_training_improves_inertia(spark):
+    """Deterministic Lloyd rounds: mean within-cluster cosine distance is
+    non-increasing vs the head-centroid seed, and ivf_topk accepts the
+    trained centroids through the same probe/assign plumbing."""
+    import numpy as np
+
+    from logspark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    # three well-separated gaussian blobs -> k-means has something to learn
+    blobs = []
+    for c in range(3):
+        center = rng.standard_normal(8) * 4
+        for i in range(60):
+            blobs.append((c * 60 + i, (center + rng.standard_normal(8) * 0.3).tolist()))
+    emb = spark.createDataFrame(blobs, "vec_id bigint, embedding array<double>")
+
+    def inertia(cents):
+        from logspark.operators.similarity import _dot, _norm
+
+        assigned = similarity.ivf_assign(emb, cents)
+        j = assigned.join(cents, "cell")
+        dv = F.col("embedding").cast("array<double>")
+        cv = F.col("cvec")
+        return (
+            j.select((F.lit(1.0) - _dot(dv, cv) / (_norm(dv) * _norm(cv))).alias("d"))
+            .agg(F.sum("d"))
+            .collect()[0][0]
+        )
+
+    seed = similarity.head_centroids(emb, 3)
+    trained = similarity.train_ivf_centroids(emb, 3, n_iter=4)
+    i0, i1 = inertia(seed), inertia(trained)
+    assert i1 <= i0 + 1e-9, (i0, i1)
+    # trained centroids should essentially recover the 3 blobs
+    assert i1 < i0 * 0.5, (i0, i1)
+
+    got = similarity.ivf_topk(emb, query_id=0, nprobe=1, k=5, centroids=trained)
+    assert got.count() == 5
