@@ -377,6 +377,29 @@ WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
 """
 )
 
+# incremental dedup oracle: the WHOLE-CORPUS pair set at the same params
+# as the incremental path (uncapped LSH candidates, threshold 0.5) — the
+# union of per-batch incremental runs must equal exactly this
+INCREMENTAL_DEDUP_PAIRS = (
+    _SHINGLES_CTE
+    + ",\n"
+    + _lsh_ctes(max_bucket=None)
+    + """,
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+v AS (SELECT i.* FROM inter i JOIN cand c ON i.a = c.a AND i.b = c.b)
+SELECT a, b, round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM v
+JOIN sz sa ON sa.doc_id = a
+JOIN sz sb ON sb.doc_id = b
+WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
+"""
+)
+
 # verified near-dup pairs as a reusable CTE chain (ends in `vp(a, b)`) —
 # same lineage as NGRAM_JACCARD_VERIFIED's result at threshold 0.5
 _VERIFIED_PAIRS_CTES = (
@@ -619,6 +642,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_verified": NGRAM_JACCARD_VERIFIED,
     "dedup_clusters": DEDUP_CLUSTERS,
     "dedup_apply": DEDUP_APPLY,
+    "incremental_dedup_pairs": INCREMENTAL_DEDUP_PAIRS,
     "simhash": SIMHASH,
     "simhash_bands": SIMHASH_BANDS,
     "winnow_fingerprints": WINNOW_FINGERPRINTS,

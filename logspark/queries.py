@@ -383,6 +383,25 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard(docs, threshold=0.5, candidates=cand)
 
 
+def q_incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup under the gate: ingest the corpus in TWO
+    batches (even doc_ids, then odd) through a persistent SignatureStore —
+    each run computes signatures for its own batch only and LSH-joins new
+    vs (store ∪ new). The unioned per-run pair sets must hash-equal the
+    one-shot whole-corpus pair set (the oracle), proving incremental
+    ingestion loses and invents nothing."""
+    import tempfile
+
+    ensure_workers(spark)
+    docs = _t(spark, sf_dir, "documents")
+    store = dedup.SignatureStore(tempfile.mkdtemp(prefix="sigstore_"))
+    batch_a = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_b = docs.filter(F.col("doc_id") % 2 == 1)
+    pa = dedup.incremental_near_dup_pairs(store, batch_a, docs, run_id="inc-a", threshold=0.5)
+    pb = dedup.incremental_near_dup_pairs(store, batch_b, docs, run_id="inc-b", threshold=0.5)
+    return pa.unionByName(pb)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → decisions, step 1: connected components over the verified
     near-dup pairs; cluster_id = min doc_id of the component (the keeper)."""
@@ -502,6 +521,7 @@ QUERIES = {
     "ngram_jaccard_verified": q_ngram_jaccard_verified,
     "dedup_clusters": q_dedup_clusters,
     "dedup_apply": q_dedup_apply,
+    "incremental_dedup_pairs": q_incremental_dedup_pairs,
     "simhash": q_simhash,
     "simhash_bands": q_simhash_bands,
     "winnow_fingerprints": q_winnow_fingerprints,

@@ -238,6 +238,36 @@ def test_dedup_apply_partition_invariants(spark, docs):
     pairs.unpersist(); clusters.unpersist(); surviving.unpersist()
 
 
+def test_incremental_dedup_equals_full_run(spark, docs, tmp_path):
+    """Two incremental runs through a SignatureStore produce the same
+    verified pair set AND the same dedup_apply surviving set as a one-shot
+    whole-corpus run; the store refuses duplicate run ids and signatures
+    are computed once per batch (store holds both runs afterwards)."""
+    store = dedup.SignatureStore(str(tmp_path / "sigs"))
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    pa = dedup.incremental_near_dup_pairs(store, a, docs, run_id="r-a", threshold=0.5)
+    pb = dedup.incremental_near_dup_pairs(store, b, docs, run_id="r-b", threshold=0.5)
+    inc = {(r["a"], r["b"]) for r in pa.unionByName(pb).collect()}
+
+    sigs = dedup.minhash_signatures(docs, n_hashes=16)
+    cand = dedup.lsh_candidates(sigs, n_hashes=16, bands=4)
+    full_pairs = dedup.ngram_jaccard(docs, threshold=0.5, candidates=cand)
+    full = {(r["a"], r["b"]) for r in full_pairs.collect()}
+    assert inc == full and len(full) > 0
+
+    # decisions agree too: same surviving corpus either way
+    inc_surv = {r["doc_id"] for r in dedup.dedup_apply(docs, pa.unionByName(pb)).select("doc_id").collect()}
+    full_surv = {r["doc_id"] for r in dedup.dedup_apply(docs, full_pairs).select("doc_id").collect()}
+    assert inc_surv == full_surv
+
+    assert store.committed_runs() == ["r-a", "r-b"]
+    assert store.load(spark).count() == dedup.minhash_signatures(docs).count()
+    with pytest.raises(ValueError, match="already committed"):
+        dedup.incremental_near_dup_pairs(store, b, docs, run_id="r-b")
+
+
 def test_cosine_topk_matches_numpy(emb):
     import numpy as np
 
