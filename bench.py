@@ -53,6 +53,10 @@ HEADLINE = [
     "quality_scores",
     "embed_cosine_topk",
     "embed_ann_lsh",
+    "embed_ivf_topk",
+    "embed_near_dups",
+    "dedup_clusters",
+    "dedup_apply",
 ]
 
 
@@ -164,6 +168,40 @@ def run_scaling(n_turns: int, n: int = 2) -> dict:
     }
     if probe.get("ceiling_efficiency"):
         out["efficiency_vs_hw_ceiling"] = round(eff / probe["ceiling_efficiency"], 3)
+
+    # VERDICT r2 #5: record the 4→16 pair ALONGSIDE the committed 2→8
+    # protocol every round, so the host-bound shortfall stays measured
+    # rather than asserted. Same best-of/interleave/asymmetric-repeat
+    # protocol; disable with SPARK_GRAFT_ALT_PAIR="".
+    alt_env = os.environ.get("SPARK_GRAFT_ALT_PAIR", "4")
+    if alt_env:
+        an = int(alt_env)
+        afour = 4 * an
+        aruns: dict[int, list[dict]] = {an: [], afour: []}
+        aorder: list[int] = []
+        for _ in range(repeats):
+            aorder += [an] + [afour] * per_round
+        aorder += [afour] * (repeats_4n - per_round * repeats)
+        for c in aorder:
+            aruns[c].append(_run_level(c, n_turns))
+        abest = {c: min(rs, key=lambda r: r["seconds"]) for c, rs in aruns.items()}
+        aeff = (abest[afour]["turns_per_sec"] / abest[an]["turns_per_sec"]) / 4
+        aprobe = _run_probe(an, afour)
+        out["alt_pair"] = {
+            "n_cores": an,
+            "4n_cores": afour,
+            "n_sec": abest[an]["seconds"],
+            "n_turns_per_sec": abest[an]["turns_per_sec"],
+            "4n_sec": abest[afour]["seconds"],
+            "4n_turns_per_sec": abest[afour]["turns_per_sec"],
+            "all_runs_sec": {str(c): [r["seconds"] for r in rs] for c, rs in aruns.items()},
+            "scaling_efficiency": round(aeff, 3),
+            "hw_ceiling_efficiency": aprobe.get("ceiling_efficiency"),
+        }
+        if aprobe.get("ceiling_efficiency"):
+            out["alt_pair"]["efficiency_vs_hw_ceiling"] = round(
+                aeff / aprobe["ceiling_efficiency"], 3
+            )
     return out
 
 
@@ -224,7 +262,29 @@ def update_baseline_md(scaling: dict) -> None:
             "the pipeline adds no serial stage or shuffle bottleneck of its\n"
             "own; the plan is one narrow stage ending in a dynamic-partition\n"
             "write plus one small aggregate shuffle.\n\n"
-            "Reproduce:\n\n"
+            + (
+                (
+                    "## Alt pair (recorded alongside, per VERDICT r2 #5)\n\n"
+                    f"{alt['n_cores']}→{alt['4n_cores']} cores, same protocol: "
+                    f"{alt['n_sec']} s ({alt['n_turns_per_sec']:,} turns/s) → "
+                    f"{alt['4n_sec']} s ({alt['4n_turns_per_sec']:,} turns/s), "
+                    f"**efficiency {alt['scaling_efficiency']}**"
+                    + (
+                        f", hw ceiling {alt.get('hw_ceiling_efficiency')}, "
+                        f"engine-vs-ceiling {alt.get('efficiency_vs_hw_ceiling')}"
+                        if alt.get("hw_ceiling_efficiency")
+                        else ""
+                    )
+                    + ".\n"
+                    f"Raw seconds: {json.dumps(alt['all_runs_sec'])}\n"
+                    "The gap past ~8 busy cores remains the VM's shared memory\n"
+                    "bandwidth (see pair-selection note above), not a plan\n"
+                    "property — recorded every round so the claim stays measured.\n\n"
+                )
+                if (alt := scaling.get("alt_pair"))
+                else ""
+            )
+            + "Reproduce:\n\n"
             "```bash\n"
             "cd /root/repo\n"
             f"taskset -c 0-{n - 1} python -m bench.runner --cores {n}\n"
