@@ -448,6 +448,32 @@ def dedup_apply(
     return df.join(drop, id_col, "left_anti")
 
 
+def winnow_candidates(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate pairs from winnowing fingerprints: (a, b, n_shared) for
+    docs sharing ≥ `min_shared` fingerprints — the MOSS match step, with
+    the winnowing guarantee that any shared run of ≥ w+k-1 tokens surfaces
+    at least one shared fingerprint. Input: `winnow_fingerprints` output.
+
+    Scale shape mirrors LSH banding: self-join keyed on the fingerprint
+    (never all-pairs), `max_bucket` drops degenerate fingerprints (the
+    boilerplate-ubiquitous hash that would pin one reducer), and the
+    pair aggregation is one groupBy with map-side partials."""
+    fps = cap_buckets(fps, max_bucket, keys=("fingerprint",))
+    l, r = fps.alias("l"), fps.alias("r")
+    return (
+        l.join(r, "fingerprint")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash_bands(
     df: DataFrame,
     id_col: str = "doc_id",

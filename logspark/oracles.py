@@ -469,6 +469,24 @@ FROM h
 QUALIFY i <= m - 3
 """
 
+# MOSS match step over the winnowing fingerprints: cap degenerate
+# fingerprints (QUALIFY mirrors dedup.cap_buckets), pair on shared
+# fingerprint, keep pairs sharing >= 2
+WINNOW_CANDIDATES = (
+    "WITH fp AS (\n"
+    + WINNOW_FINGERPRINTS
+    + """),
+fpc AS (
+  SELECT * FROM fp
+  QUALIFY COUNT(*) OVER (PARTITION BY fingerprint) <= 50
+)
+SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_shared
+FROM fpc l JOIN fpc r ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+)
+
 SIMHASH = f"""
 SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
          CASE WHEN list_sum(list_transform(hs,
@@ -646,6 +664,7 @@ ORACLES: dict[str, str] = {
     "simhash": SIMHASH,
     "simhash_bands": SIMHASH_BANDS,
     "winnow_fingerprints": WINNOW_FINGERPRINTS,
+    "winnow_candidates": WINNOW_CANDIDATES,
     "embed_cosine_topk": EMBED_COSINE_TOPK,
     "embed_ann_lsh": EMBED_ANN_LSH,
     "embed_ivf_topk": EMBED_IVF_TOPK,

@@ -424,6 +424,14 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_fingerprints(docs, k=5, w=4)
 
 
+def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match step: pairs sharing ≥2 winnowing fingerprints (with the
+    degenerate-fingerprint cap) — the fingerprint family's pairs stage."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprints(docs, k=5, w=4)
+    return dedup.winnow_candidates(fps, min_shared=2, max_bucket=50)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return textops.with_simhash(docs).select("doc_id", "simhash")
@@ -525,6 +533,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_bands": q_simhash_bands,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_candidates": q_winnow_candidates,
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_ann_lsh": q_embed_ann_lsh,
     "embed_ivf_topk": q_embed_ivf_topk,

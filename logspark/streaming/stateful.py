@@ -1,0 +1,105 @@
+"""Stateful streaming operators (SURVEY.md §2.10, training-data brief).
+
+Two operators the foreachBatch wrapper cannot express, built on Spark's
+native streaming state machinery instead of hand-rolled state:
+
+- **streaming_sessionize** — gap-based conversation sessionization as an
+  event-time `session_window` aggregate with a watermark. This is the
+  STREAMING form of operators/aggregates.sessionize (the batch lag +
+  running-sum form): windows merge while turns arrive within the gap,
+  and the watermark bounds state so abandoned conversations age out —
+  at 100 TB-scale ingest, state is O(open sessions), not O(history).
+
+- **streaming_exact_dedup** — cross-micro-batch exact dedup via
+  `applyInPandasWithState`: the first batch to present a fingerprint
+  emits ONE keeper row (min id within that batch — deterministic under
+  any partitioning); every later arrival of the same fingerprint is
+  dropped. This is dedup.exact_dedup's keeper selection as a continuous
+  operator, and the template for any custom stateful operator the
+  reference family lacks (state = one struct per group, Arrow-batched
+  user code, GroupStateTimeout for TTL).
+
+Boundary note: `session_window` starts a NEW session when the inter-turn
+gap is ≥ the gap duration (window is [start, last_ts + gap)), while the
+batch sessionize splits strictly > gap — they differ only when a gap
+equals the threshold to the microsecond; the equivalence test asserts
+that and excludes the knife-edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(conv_id, session_start, session_end, n_turns) per closed-or-open
+    session window. Append output mode emits a session only once the
+    watermark passes its end (late turns within the watermark still merge);
+    complete mode emits the running picture — tests use complete."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(conv_col),
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(conv_col, "session_start", "session_end", "n_turns")
+    )
+
+
+DEDUP_OUT_DDL = "fingerprint string, keeper bigint, text string"
+DEDUP_STATE_DDL = "seen boolean"
+
+
+def _dedup_fn(key, pdfs, state):
+    """One fingerprint group per call: emit the min-id row the first time
+    the fingerprint is ever seen; afterwards emit nothing. The state row
+    is a single boolean — O(1) per distinct fingerprint."""
+    import pandas as pd
+
+    if state.exists:
+        # already emitted in an earlier micro-batch — drain and drop
+        for _ in pdfs:
+            pass
+        return iter(())
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    keeper = rows.sort_values("keeper").head(1)
+    state.update((True,))
+    return iter([keeper[["fingerprint", "keeper", "text"]]])
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous exact dedup over a document stream: normalized-text md5
+    fingerprint (identical normalization to dedup.exact_dedup), grouped by
+    fingerprint, one keeper emitted per fingerprint ever — across
+    micro-batches, surviving restarts via the checkpoint's state store."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    keyed = stream.select(
+        F.md5(norm).alias("fingerprint"),
+        F.col(id_col).cast("long").alias("keeper"),
+        F.col(text_col).alias("text"),
+    )
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUT_DDL,
+        stateStructType=DEDUP_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

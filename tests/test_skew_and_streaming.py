@@ -303,3 +303,105 @@ def test_cli_end_to_end(tmp_path):
     assert out["run_id"] == "cli1"
     assert out["sink_rows"]["parsed"] > 0 and out["sink_rows"]["raw"] > 0
     assert out["metrics"]["rows_in"] == n
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Native session_window sessionization over a stream == the batch
+    lag+running-sum form (operators/aggregates.sessionize) on the same
+    data — same session boundaries, turn counts, and start/end times.
+    The one documented divergence (gap exactly == threshold) is asserted
+    absent from the fixture first."""
+    from logspark.datagen import synth_transcripts
+    from logspark.operators.aggregates import sessionize
+    from logspark.streaming import streaming_sessionize
+
+    n = 4000
+    pdf = synth_transcripts(np.arange(n), n)
+    df = spark.createDataFrame(pdf)
+
+    # no knife-edge gaps (== 1800 s) in the fixture
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    gaps = df.withColumn(
+        "gap", F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    )
+    assert gaps.filter(F.col("gap") == 1800).count() == 0
+
+    in_dir = str(tmp_path / "in")
+    df.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    sess = streaming_sessionize(stream, gap_minutes=30)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_sw")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["conv_id"], r["session_start"], r["session_end"], r["n_turns"])
+        for r in spark.sql("SELECT * FROM sess_sw").collect()
+    }
+    want = {
+        (r["conv_id"], r["session_start"], r["session_end"], r["n_turns"])
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: the first micro-batch to
+    present a fingerprint emits exactly one keeper (min doc_id in that
+    batch); re-arrivals in LATER batches — across a query restart on the
+    same checkpoint, i.e. through the state store — emit nothing."""
+    import time
+
+    from logspark.streaming import streaming_exact_dedup
+
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    ddl = "doc_id bigint, text string"
+
+    def run_phase(rows, fname):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode("overwrite").parquet(
+            str(in_dir / fname)
+        )
+        stream = spark.readStream.schema(ddl).parquet(str(in_dir / "*"))
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        time.sleep(0.5)
+        return {r["keeper"]: r["fingerprint"] for r in spark.read.parquet(out_dir).collect()}
+
+    # phase 1: "alpha" duplicated within the batch -> one keeper, min id
+    got1 = run_phase(
+        [(10, "alpha  text"), (3, "Alpha text"), (7, "beta text")], "f1"
+    )
+    assert set(got1) == {3, 7}
+
+    # phase 2 (restart, same checkpoint): old fingerprints re-arrive with
+    # smaller ids -> STILL dropped (state survived); only gamma is new
+    got2 = run_phase(
+        [(1, "alpha text"), (2, "beta  text"), (5, "gamma text")], "f2"
+    )
+    assert set(got2) == {3, 7, 5}
