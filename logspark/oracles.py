@@ -593,6 +593,40 @@ WHERE {_cos('va', 'vb')} >= 0.35
 """
 )
 
+# cluster resolution over EMBEDDING near-dup pairs (same recursive
+# reachability as DEDUP_APPLY — the machinery is pair-family-agnostic)
+EMBED_DEDUP_APPLY = (
+    "WITH RECURSIVE "
+    + _BUCKETS_CTE.lstrip().removeprefix("WITH ")
+    + f""",
+bc AS (SELECT * FROM b QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 64),
+lv AS (SELECT bc.vec_id AS a, v.v AS va, bc.bucket FROM bc JOIN v USING (vec_id)),
+rv AS (SELECT bc.vec_id AS b_id, v.v AS vb, bc.bucket FROM bc JOIN v USING (vec_id)),
+vp AS (
+  SELECT a, b_id AS b
+  FROM lv JOIN rv ON lv.bucket = rv.bucket AND lv.a < rv.b_id
+  WHERE {_cos('va', 'vb')} >= 0.35
+)"""
+    + _CC_TAIL
+    + """SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)"""
+)
+
+# A3 rollup surface: subtotals + grand total via grouping sets — Spark's
+# rollup() and DuckDB's GROUP BY ROLLUP produce identical (null-marked) rows
+SINK_COUNTS_ROLLUP = """
+WITH routed AS (
+  SELECT 'clicks' AS sink, event_type FROM events WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT 'conversions', event_type FROM events WHERE event_type IN ('signup', 'purchase')
+  UNION ALL
+  SELECT 'errors_sink', event_type FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT 'hot', event_type FROM events WHERE value >= 400
+)
+SELECT sink, event_type, COUNT(*) AS n FROM routed GROUP BY ROLLUP (sink, event_type)
+"""
+
 # ---------------------------------------------------------------------------
 # multimodal: content = UTF-8 bytes of documents.text (ASCII corpus, so
 # byte == code point); features from exact integer moments — mean = s/n,
@@ -669,5 +703,7 @@ ORACLES: dict[str, str] = {
     "embed_ann_lsh": EMBED_ANN_LSH,
     "embed_ivf_topk": EMBED_IVF_TOPK,
     "embed_near_dups": EMBED_NEAR_DUPS,
+    "embed_dedup_apply": EMBED_DEDUP_APPLY,
+    "sink_counts_rollup": SINK_COUNTS_ROLLUP,
     "multimodal_features": MULTIMODAL_FEATURES,
 }

@@ -468,6 +468,25 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dups(emb, threshold=0.35, n_anchors=6, max_bucket=64)
 
 
+def q_embed_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution is family-agnostic: the same connected-components
+    → min-id-survivor machinery applied to EMBEDDING near-dup pairs —
+    the surviving vector ids after cosine-near-dup collapse."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(emb, threshold=0.35, n_anchors=6, max_bucket=64)
+    return dedup.dedup_apply(emb, pairs, id_col="vec_id").select("vec_id")
+
+
+def q_sink_counts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 cube/rollup surface: per-(sink, event_type) counts with ROLLUP
+    subtotals and grand total — one pass, Catalyst expands the grouping
+    sets; DuckDB's ROLLUP is semantically identical (nulls as subtotal
+    markers)."""
+    ev = ensure_tags(_t(spark, sf_dir, "events"))
+    routed = route(ev, EVENT_SINKS)
+    return routed.rollup("sink", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_sink_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 redis-sink payload form: LPUSH payload = compact JSON of the
     routed event (to_json over a struct — byte-identical across engines
@@ -538,6 +557,8 @@ QUERIES = {
     "embed_ann_lsh": q_embed_ann_lsh,
     "embed_ivf_topk": q_embed_ivf_topk,
     "embed_near_dups": q_embed_near_dups,
+    "embed_dedup_apply": q_embed_dedup_apply,
+    "sink_counts_rollup": q_sink_counts_rollup,
     "sink_payload_json": q_sink_payload_json,
     "multimodal_features": q_multimodal_features,
 }
