@@ -439,17 +439,23 @@ def dedup_apply(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    broadcast_drop: bool = True,
 ) -> DataFrame:
     """The deduplicated corpus: every near-dup cluster keeps exactly its
     min-id member; all other cluster members are dropped; unclustered docs
     pass through. This is the step that turns verified PAIRS into a
     DECISION — which rows to keep (VERDICT r2 gap #2).
 
-    Shape: the drop list is |cluster members| - |clusters| rows — a small
-    fraction of the corpus — so the left_anti join broadcasts under AQE at
-    any realistic dup rate; the corpus side never shuffles."""
+    Shape: the drop list is |cluster members| - |clusters| rows — id-only,
+    a small fraction of the corpus — and is broadcast EXPLICITLY: the
+    statistics-blind static plan otherwise picks a SortMergeJoin that
+    shuffles+sorts the whole corpus to drop <1% of it (plan-tested).
+    `broadcast_drop=False` for the degenerate mostly-duplicates corpus
+    where the drop list rivals the corpus."""
     clusters = dedup_clusters(pairs, id_col)
     drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    if broadcast_drop:
+        drop = F.broadcast(drop)
     return df.join(drop, id_col, "left_anti")
 
 

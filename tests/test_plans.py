@@ -254,3 +254,20 @@ def test_ivf_kmeans_training_improves_inertia(spark):
 
     got = similarity.ivf_topk(emb, query_id=0, nprobe=1, k=5, centroids=trained)
     assert got.count() == 5
+
+
+def test_dedup_apply_anti_join_broadcasts(spark):
+    """dedup_apply must not shuffle the corpus to subtract the (small,
+    id-only) drop list: the LeftAnti join is a BroadcastHashJoin with the
+    corpus as the streamed side — without the explicit broadcast the
+    statistics-blind static plan picks a full SortMergeJoin."""
+    from logspark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, n_hashes=16)
+    cand = dedup.lsh_candidates(sigs, n_hashes=16, bands=4, max_bucket=20)
+    pairs = dedup.ngram_jaccard(docs, threshold=0.5, candidates=cand)
+    plan = _plan(dedup.dedup_apply(docs, pairs))
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("BroadcastHashJoin" in ln for ln in anti), anti
+    assert not any("SortMergeJoin" in ln for ln in anti), anti
