@@ -193,10 +193,19 @@ def test_connected_components_equals_union_find(spark):
         assert got == uf_components(edges, nodes)
 
     check()
-    # deterministic chain: worst case for plain propagation, log-rounds here
+    # deterministic chain: worst case for plain propagation (O(n) rounds),
+    # log-rounds with pointer doubling — pin BOTH correctness and the
+    # round count so a regression to linear convergence fails loudly
+    stats: dict = {}
     chain = spark.createDataFrame([(i, i + 1) for i in range(40)], "a bigint, b bigint")
-    got = {r["node"]: r["component"] for r in connected_components(chain).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, stats=stats).collect()
+    }
     assert got == {i: 0 for i in range(41)}
+    # neighbor-min + doubling ≈ halves remaining depth per round:
+    # 41-node path converges well under log2-ish rounds + slack
+    assert stats["rounds"] <= 9, stats
 
 
 def test_dedup_apply_partition_invariants(spark, docs):
@@ -244,11 +253,15 @@ def test_incremental_dedup_equals_full_run(spark, docs, tmp_path):
     whole-corpus run; the store refuses duplicate run ids and signatures
     are computed once per batch (store holds both runs afterwards)."""
     store = dedup.SignatureStore(str(tmp_path / "sigs"))
-    a = docs.filter(F.col("doc_id") % 2 == 0)
-    b = docs.filter(F.col("doc_id") % 2 == 1)
-
-    pa = dedup.incremental_near_dup_pairs(store, a, docs, run_id="r-a", threshold=0.5)
-    pb = dedup.incremental_near_dup_pairs(store, b, docs, run_id="r-b", threshold=0.5)
+    # THREE batches (not just the gated query's two): every pair {x, y}
+    # must be emitted by exactly the run that ingests its later member,
+    # whichever of the 3x3 batch combinations it spans
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    parts = [
+        dedup.incremental_near_dup_pairs(store, b, docs, run_id=f"r-{i}", threshold=0.5)
+        for i, b in enumerate(batches)
+    ]
+    pa, pb = parts[0], parts[1].unionByName(parts[2])
     inc = {(r["a"], r["b"]) for r in pa.unionByName(pb).collect()}
 
     sigs = dedup.minhash_signatures(docs, n_hashes=16)
@@ -262,10 +275,10 @@ def test_incremental_dedup_equals_full_run(spark, docs, tmp_path):
     full_surv = {r["doc_id"] for r in dedup.dedup_apply(docs, full_pairs).select("doc_id").collect()}
     assert inc_surv == full_surv
 
-    assert store.committed_runs() == ["r-a", "r-b"]
+    assert store.committed_runs() == ["r-0", "r-1", "r-2"]
     assert store.load(spark).count() == dedup.minhash_signatures(docs).count()
     with pytest.raises(ValueError, match="already committed"):
-        dedup.incremental_near_dup_pairs(store, b, docs, run_id="r-b")
+        dedup.incremental_near_dup_pairs(store, batches[2], docs, run_id="r-2")
 
 
 def test_cosine_topk_matches_numpy(emb):
