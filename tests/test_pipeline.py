@@ -329,6 +329,25 @@ def test_watch_mode_hot_reloads_config(spark, tiny_pdf, tmp_path, dims):
     assert r3[0].sink_rows.get("everything") == 300  # hot-reloaded sink
     assert len(r3[0].input_files) == 1  # only the new file
 
+    # a bad hot-reloaded config (no table input) must NOT kill the agent
+    # (ADVICE r2): the tick is skipped with a warning, and once the config
+    # is fixed the next tick resumes where it left off
+    cfg3 = _json.loads(cfg_path.read_text())
+    good_input = cfg3["input"]
+    cfg3["input"] = [{"type": "memory"}]
+    cfg_path.write_text(_json.dumps(cfg3))
+    r4 = pipeline.watch(spark, str(cfg_path), io, sink_root, dims=dims,
+                        interval_s=0, max_iterations=1)
+    assert r4 == []
+    cfg3["input"] = good_input
+    cfg_path.write_text(_json.dumps(cfg3))
+    tiny_pdf.iloc[700:900].to_parquet(
+        tbl / "p2.parquet", coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    r5 = pipeline.watch(spark, str(cfg_path), io, sink_root, dims=dims,
+                        interval_s=0, max_iterations=1)
+    assert len(r5) == 1 and len(r5[0].input_files) == 1
+
 
 def test_json_filter_schema_with_failure_tag(spark):
     """Regression: schema-promoted json codec + tag_on_failure used to
