@@ -593,6 +593,46 @@ WHERE {_cos('va', 'vb')} >= 0.35
 """
 )
 
+# end-to-end corpus construction: quality gate -> language gate ->
+# near-dup cluster survivors. The dedup CTE chain is re-targeted from
+# `documents` to the filtered `docs_src` by substitution — every stage is
+# the already-gated oracle logic, composed.
+_DOCS_SRC_CTE = f"""docs_src AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN (
+    SELECT doc_id,
+           CASE WHEN fr > en AND fr > de AND fr > 0 THEN 'fr'
+                WHEN de > en AND de > 0 THEN 'de'
+                WHEN en > 0 THEN 'en'
+                ELSE 'und' END AS lang,
+           nt,
+           round(CAST(sw AS DOUBLE) / greatest(nt, 1), 6) AS swr
+    FROM (
+      SELECT doc_id,
+             len(w) AS nt,
+             len(list_filter(w, t -> t IN {_STOP})) AS sw,
+             len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of'))) AS en,
+             len(list_filter(w, t -> t IN ('der', 'die', 'das', 'und'))) AS de,
+             len(list_filter(w, t -> t IN ('le', 'la', 'et', 'les'))) AS fr
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+  ) q USING (doc_id)
+  WHERE q.lang = 'en' AND q.nt >= 5 AND q.swr <= 0.6
+)"""
+
+TRAINING_CORPUS = (
+    "WITH RECURSIVE "
+    + _DOCS_SRC_CTE
+    + ",\n"
+    + _VERIFIED_PAIRS_CTES.lstrip().removeprefix("WITH ").replace(
+        "FROM documents", "FROM docs_src"
+    )
+    + _CC_TAIL
+    + """SELECT doc_id FROM docs_src
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)"""
+)
+
 # cluster resolution over EMBEDDING near-dup pairs (same recursive
 # reachability as DEDUP_APPLY — the machinery is pair-family-agnostic)
 EMBED_DEDUP_APPLY = (
@@ -695,6 +735,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": DEDUP_CLUSTERS,
     "dedup_apply": DEDUP_APPLY,
     "incremental_dedup_pairs": INCREMENTAL_DEDUP_PAIRS,
+    "training_corpus": TRAINING_CORPUS,
     "simhash": SIMHASH,
     "simhash_bands": SIMHASH_BANDS,
     "winnow_fingerprints": WINNOW_FINGERPRINTS,

@@ -417,6 +417,25 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_apply(docs, _verified_pairs(spark, sf_dir)).select("doc_id")
 
 
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data corpus construction a real user runs:
+    quality gate (≥5 tokens, stopword ratio ≤ 0.6) → language gate
+    (lang_guess == 'en') → MinHash/LSH/Jaccard near-dup clustering →
+    per-cluster min-id survivor. One composed DataFrame plan — the
+    filters are narrow and run BEFORE signatures, so the expensive dedup
+    stages see only the corpus that can survive."""
+    ensure_workers(spark)
+    docs = _t(spark, sf_dir, "documents")
+    f = textops.with_lang_guess(textops.with_quality(docs))
+    filtered = f.filter(F.col("quality_ok") & (F.col("lang_guess") == "en")).select(
+        "doc_id", "text"
+    )
+    sigs = dedup.minhash_signatures(filtered, n_hashes=16)
+    cand = dedup.lsh_candidates(sigs, n_hashes=16, bands=4, max_bucket=20)
+    pairs = dedup.ngram_jaccard(filtered, threshold=0.5, candidates=cand)
+    return dedup.dedup_apply(filtered, pairs).select("doc_id")
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing: guaranteed-overlap document fingerprints at
     ~2/(w+1) density — the rolling-hash fingerprinting family."""
@@ -549,6 +568,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_apply": q_dedup_apply,
     "incremental_dedup_pairs": q_incremental_dedup_pairs,
+    "training_corpus": q_training_corpus,
     "simhash": q_simhash,
     "simhash_bands": q_simhash_bands,
     "winnow_fingerprints": q_winnow_fingerprints,
