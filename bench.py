@@ -57,6 +57,9 @@ HEADLINE = [
     "embed_near_dups",
     "dedup_clusters",
     "dedup_apply",
+    "winnow_candidates",
+    "simhash_verified",
+    "training_corpus",
 ]
 
 

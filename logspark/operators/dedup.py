@@ -365,6 +365,30 @@ def _make_winnow_kernel(k: int, w: int):
     return kernel
 
 
+def simhash_verified(
+    df_with_simhash: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The SimHash family's verify step: band candidates → exact Hamming
+    distance over the full 60-bit fingerprints → keep pairs ≤ max_hamming.
+    (Banding guarantees recall for distance ≤ n_bands-1; the verify kills
+    the false positives banding lets through.) One narrow projection after
+    the banded join — bit_count(xor) is a single JVM intrinsic per pair."""
+    cand = simhash_bands(df_with_simhash, id_col, n_bands, max_bucket)
+    h = df_with_simhash.select(F.col(id_col), "simhash")
+    out = (
+        cand.join(h.select(F.col(id_col).alias("a"), F.col("simhash").alias("_ha")), "a")
+        .join(h.select(F.col(id_col).alias("b"), F.col("simhash").alias("_hb")), "b")
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+    return out
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",

@@ -510,6 +510,26 @@ SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM b l JOIN b r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
 """
 
+# SimHash verify: banded candidates → exact 60-bit Hamming distance
+# (bit_count(xor) in both engines) ≤ threshold (3 = production default)
+SIMHASH_VERIFIED = f"""
+WITH s AS ({SIMHASH}),
+b AS (
+  SELECT doc_id, g.band, (simhash >> (g.band * 15)) & 32767 AS key
+  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) g
+  QUALIFY COUNT(*) OVER (PARTITION BY g.band, (simhash >> (g.band * 15)) & 32767) <= 100
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM b l JOIN b r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT c.a, c.b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand c
+JOIN s sa ON sa.doc_id = c.a
+JOIN s sb ON sb.doc_id = c.b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+
 # ---------------------------------------------------------------------------
 # similarity (list_reduce = guaranteed left fold, matching Spark aggregate)
 # ---------------------------------------------------------------------------
@@ -738,6 +758,7 @@ ORACLES: dict[str, str] = {
     "training_corpus": TRAINING_CORPUS,
     "simhash": SIMHASH,
     "simhash_bands": SIMHASH_BANDS,
+    "simhash_verified": SIMHASH_VERIFIED,
     "winnow_fingerprints": WINNOW_FINGERPRINTS,
     "winnow_candidates": WINNOW_CANDIDATES,
     "embed_cosine_topk": EMBED_COSINE_TOPK,

@@ -461,6 +461,16 @@ def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_bands(textops.with_simhash(docs), n_bands=4, max_bucket=100)
 
 
+def q_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidates → exact Hamming verify at the production
+    default (≤ 3 of 60 bits): the family's composed scale path, like
+    ngram_jaccard_verified for MinHash. 13-25 real pairs at test SFs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_verified(
+        textops.with_simhash(docs), n_bands=4, max_hamming=3, max_bucket=100
+    )
+
+
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, query_id=0, k=10)
@@ -571,6 +581,7 @@ QUERIES = {
     "training_corpus": q_training_corpus,
     "simhash": q_simhash,
     "simhash_bands": q_simhash_bands,
+    "simhash_verified": q_simhash_verified,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_candidates": q_winnow_candidates,
     "embed_cosine_topk": q_embed_cosine_topk,
