@@ -64,7 +64,14 @@ def signbit_bucket(
     anchor_id_col: str = "vec_id",
 ) -> DataFrame:
     """Adds `bucket`: the sign-bit sketch of the vector against each anchor
-    (bit i = 1 iff dot(vec, anchor_i) > 0), as a compact bigint."""
+    (bit i = 1 iff dot(vec, anchor_i) > 0), as a compact bigint.
+
+    The anchor vectors are inlined as literal arrays — bounded BY
+    CONSTRUCTION: the bucket is a 64-bit bitmask, so n_anchors ≤ 63
+    always, and the expression tree stays small and the plan narrow
+    (zero shuffle). This is unlike IVF centroid counts (unbounded →
+    broadcast-join form, see ivf_assign); at 63+ hyperplanes you want
+    IVF cells anyway."""
     a = anchors.select(
         F.col(anchor_id_col).alias("_aid"), F.col(vec_col).cast("array<double>").alias("_avec")
     )
