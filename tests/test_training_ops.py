@@ -345,3 +345,30 @@ def test_multimodal_resize(spark):
     # deterministic resample
     again = {r["media_id"]: bytes(r["content"]) for r in resized.collect()}
     assert all(bytes(rows[m]["content"]) == c for m, c in again.items())
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """Degenerate-input armor: every dedup-family operator is total on
+    empty corpora / empty pair sets (a scheduled pipeline tick over an
+    empty partition must not crash)."""
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    empty_pairs = spark.createDataFrame([], "a bigint, b bigint")
+
+    assert dedup.exact_dedup(empty_docs).count() == 0
+    sigs = dedup.minhash_signatures(empty_docs)
+    assert sigs.count() == 0
+    assert dedup.lsh_candidates(sigs).count() == 0
+    assert dedup.ngram_jaccard(empty_docs, candidates=empty_pairs).count() == 0
+    assert dedup.winnow_fingerprints(empty_docs).count() == 0
+    assert dedup.connected_components(empty_pairs).count() == 0
+    assert dedup.dedup_clusters(empty_pairs).count() == 0
+
+    # empty pair set -> the corpus passes through untouched
+    docs = spark.createDataFrame([(1, "a b c"), (2, "d e f")], "doc_id bigint, text string")
+    assert dedup.dedup_apply(docs, empty_pairs).count() == 2
+
+    # single-doc corpus: no pairs anywhere, survivor is itself
+    one = spark.createDataFrame([(7, "x y z w v u")], "doc_id bigint, text string")
+    s1 = dedup.minhash_signatures(one)
+    assert dedup.lsh_candidates(s1).count() == 0
+    assert dedup.dedup_apply(one, empty_pairs).count() == 1
