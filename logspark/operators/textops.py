@@ -40,9 +40,27 @@ def tokens(col: Column, sep: str = " ") -> Column:
     return F.split(col, sep)
 
 
+# NOTE on the `_tt_toks`-style temp columns below: Catalyst does NOT
+# common-subexpression-eliminate under conditional (CASE) branches, and
+# CollapseProject inlines Column expressions passed around in Python — a
+# when-chain referencing `split(text)`-derived scores re-ran the split
+# per reference (11-14 split() nodes in the optimized lang/quality plans,
+# measured). A non-cheap expression materialized as a NAMED column that is
+# referenced more than once stays in its own Project (SPARK-36718), so the
+# tokenization runs ONCE per row. Same fix as the native grok engine's
+# match-bit columns (operators/filters.py).
+#
+# Residual: predicate PUSHDOWN re-inlines these aliases into a Filter
+# condition (filter(quality_ok AND lang_guess='en') carries the splits
+# again). Measured harmless — 1.19 s over 500k docs vs 0.13 s plain scan,
+# ~10% of the dedup chain it gates — so no pushdown-barrier hack; a real
+# pipeline materializes the filtered corpus between stages anyway.
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + char count + avg token length."""
-    toks = tokens(F.col(text_col))
+    df = df.withColumn("_tt_toks", tokens(F.col(text_col)))
+    toks = F.col("_tt_toks")
     return (
         df.withColumn("n_tokens", F.size(toks))
         .withColumn("n_chars_calc", F.length(F.col(text_col)))
@@ -54,13 +72,15 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 6,
             ),
         )
+        .drop("_tt_toks")
     )
 
 
 def with_quality(df: DataFrame, text_col: str = "text", stopwords=STOPWORDS) -> DataFrame:
     """Quality signals: stopword ratio, punctuation ratio, uppercase ratio.
     Cheap, shuffle-free heuristics of the C4/Gopher-rule family."""
-    toks = tokens(F.col(text_col))
+    df = df.withColumn("_q_toks", tokens(F.col(text_col)))
+    toks = F.col("_q_toks")
     n = F.greatest(F.size(toks), F.lit(1))
     stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     punct = F.length(F.col(text_col)) - F.length(
@@ -73,6 +93,7 @@ def with_quality(df: DataFrame, text_col: str = "text", stopwords=STOPWORDS) -> 
             "quality_ok",
             (F.size(toks) >= 5) & (F.col("stopword_ratio") <= 0.6),
         )
+        .drop("_q_toks")
     )
 
 
@@ -80,20 +101,27 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: argmax of per-language marker hits, ties and
     zero-evidence → 'und'. (A real system would use fastText/CLD3 — the
     operator shape, not the classifier, is what matters here.)"""
-    toks = tokens(F.col(text_col))
-    scores = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(*markers))) if markers else F.lit(0)
-        for lang, markers in LANG_MARKERS.items()
-    }
+    df = df.withColumn("_lg_toks", tokens(F.col(text_col)))
+    toks = F.col("_lg_toks")
+    temp = ["_lg_toks"]
+    # marker scores as NAMED columns: each is referenced twice in the
+    # argmax when-chain below, and CSE does not reach under CASE branches
+    for lang, markers in LANG_MARKERS.items():
+        if not markers:
+            continue
+        df = df.withColumn(
+            f"_lg_{lang}", F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        )
+        temp.append(f"_lg_{lang}")
     # deterministic argmax: best score wins, first-listed language on ties
     best = F.lit("und")
     best_score = F.lit(0)
     for lang in ("en", "de", "fr"):  # fixed priority order
-        s = scores[lang]
+        s = F.col(f"_lg_{lang}")
         cond = s > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, s).otherwise(best_score)
-    return df.withColumn("lang_guess", best)
+    return df.withColumn("lang_guess", best).drop(*temp)
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
