@@ -625,6 +625,42 @@ class SignatureStore:
             *[os.path.join(self.root, "runs", r) for r in runs]
         )
 
+    def compact(self, spark) -> None:
+        """Fold every committed run into ONE compacted run — the
+        small-files defense for long-lived stores (each incremental batch
+        adds a run dir; a year of hourly batches is ~10k directories and
+        their file listings start to dominate load()).
+
+        Crash-safe by the same write-then-commit discipline as append():
+        the compacted parquet lands under a DETERMINISTIC id derived from
+        the run list (a crashed compact retries into the same directory),
+        the index swap is one atomic rename, and run dirs no longer in
+        the index are reaped only after the swap (a crash in between
+        leaves unreferenced dirs that the next compact sweeps)."""
+        import hashlib
+        import json
+        import os
+        import shutil
+        import tempfile
+
+        runs = self.committed_runs()
+        if len(runs) > 1:
+            cid = "compact-" + hashlib.md5("\n".join(runs).encode()).hexdigest()[:12]
+            self.load(spark).write.mode("overwrite").parquet(
+                os.path.join(self.root, "runs", cid)
+            )
+            fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump({"runs": [cid]}, f)
+            os.replace(tmp, self._index_path())
+        # sweep anything the index no longer references
+        live = set(self.committed_runs())
+        runs_dir = os.path.join(self.root, "runs")
+        if os.path.isdir(runs_dir):
+            for d in os.listdir(runs_dir):
+                if d not in live:
+                    shutil.rmtree(os.path.join(runs_dir, d), ignore_errors=True)
+
 
 def incremental_near_dup_pairs(
     store: SignatureStore,

@@ -281,6 +281,35 @@ def test_incremental_dedup_equals_full_run(spark, docs, tmp_path):
         dedup.incremental_near_dup_pairs(store, batches[2], docs, run_id="r-2")
 
 
+def test_signature_store_compact(spark, docs, tmp_path):
+    """compact() folds all runs into one deterministic directory with the
+    identical signature set, sweeps stale dirs, and the store keeps
+    accepting incremental batches afterwards."""
+    import os
+
+    store = dedup.SignatureStore(str(tmp_path / "sigs"))
+    thirds = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(thirds[:2]):
+        store.append(dedup.minhash_signatures(b), run_id=f"r-{i}")
+    before = {r["doc_id"] for r in store.load(spark).select("doc_id").collect()}
+
+    store.compact(spark)
+    assert len(store.committed_runs()) == 1
+    cid = store.committed_runs()[0]
+    assert cid.startswith("compact-")
+    after = {r["doc_id"] for r in store.load(spark).select("doc_id").collect()}
+    assert after == before
+    assert sorted(os.listdir(tmp_path / "sigs" / "runs")) == [cid]
+
+    # still appendable post-compact; incremental run against compacted store
+    pairs = dedup.incremental_near_dup_pairs(store, thirds[2], docs, run_id="r-2")
+    assert pairs.count() >= 0
+    assert store.committed_runs() == [cid, "r-2"]
+    # idempotent no-op on a single-run store (sweep keeps both dirs live)
+    store.compact(spark)
+    assert len(store.committed_runs()) == 1  # re-compacted to one again
+
+
 def test_cosine_topk_matches_numpy(emb):
     import numpy as np
 
