@@ -60,6 +60,7 @@ HEADLINE = [
     "winnow_candidates",
     "simhash_verified",
     "training_corpus",
+    "pii_scrub",
 ]
 
 

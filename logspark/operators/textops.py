@@ -124,6 +124,30 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_guess", best).drop(*temp)
 
 
+# PII scrubbing patterns, applied in order (most-specific first). Kept to
+# the portable regex subset both Java regex (Spark) and RE2 (DuckDB)
+# evaluate identically — no lookbehind/lookahead, no backreferences.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b", "<IP>"),
+    (r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def with_pii_scrubbed(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Training-data PII redaction: email → <EMAIL>, IPv4 → <IP>,
+    phone-ish digit runs → <PHONE>, as a chain of native regexp_replace
+    (global, like every Spark replace) — narrow, shuffle-free, zero
+    Python. Order is significant and fixed (emails before phones so the
+    digits inside a local-part can't be half-eaten)."""
+    col = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col, col)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact-dup fingerprint: md5 of normalized text (lower, squeezed ws)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")

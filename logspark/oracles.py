@@ -266,6 +266,23 @@ SELECT doc_id,
 FROM documents
 """
 
+# PII scrub over planted PII (email/IP/phone derived from doc_id —
+# identical construction to the Spark query); replace order fixed, 'g'
+PII_SCRUB = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 tel +1 555 01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                  || ' done',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b', '<IP>', 'g'),
+         '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS text_scrubbed
+FROM documents
+"""
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -746,6 +763,7 @@ ORACLES: dict[str, str] = {
     "lang_id": LANG_ID,
     "doc_fingerprint": DOC_FINGERPRINT,
     "token_count_bpe": TOKEN_COUNT_BPE,
+    "pii_scrub": PII_SCRUB,
     "dedup_exact": DEDUP_EXACT,
     "minhash_signatures": MINHASH_SIGNATURES,
     "lsh_candidates": LSH_CANDIDATES,

@@ -333,6 +333,25 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.with_bpe_token_count(docs).select("doc_id", "n_tokens_bpe")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction under the gate. The synthetic corpus carries no PII,
+    so representative PII is PLANTED deterministically (email/IP/phone
+    derived from doc_id, identical expressions in the oracle) — the hash
+    compares the scrubber's actual rewrites, not an identity pass."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1 555 01"), (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit(" done"),
+        ),
+    )
+    return textops.with_pii_scrubbed(planted).select("doc_id", "text_scrubbed")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs)
@@ -569,6 +588,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count_bpe": q_token_count_bpe,
+    "pii_scrub": q_pii_scrub,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
