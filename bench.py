@@ -61,6 +61,8 @@ HEADLINE = [
     "simhash_verified",
     "training_corpus",
     "pii_scrub",
+    "chunk_documents",
+    "mixture_sample",
 ]
 
 

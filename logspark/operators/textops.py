@@ -124,6 +124,78 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_guess", best).drop(*temp)
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the training-data
+    chunking step (context-window packing, RAG indexing). Output:
+    (id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Chunks start every `chunk_tokens - overlap` tokens; the final chunk
+    may be short; docs shorter than one stride yield exactly one chunk.
+    All native (split → sequence → slice → posexplode): a narrow map, the
+    per-row fan-out is bounded by doc length, and no Python or shuffle
+    anywhere — at 100 TB this pipelines straight into the sink write."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    df = df.withColumn("_ck_toks", tokens(F.col(text_col)))
+    toks = F.col("_ck_toks")
+    n = F.size(toks)
+    n_chunks = F.floor((n - 1) / stride) + 1  # ≥1 for any non-empty doc
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_ck"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.concat_ws(" ", F.col("_ck")).alias("chunk_text"),
+            F.size("_ck").cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budgeted mixture sampling: per source, take docs in id order
+    until the source's cumulative token count exceeds its budget — how a
+    training mix ('100B web, 20B code, …') is actually materialized.
+    Output: (id, source, n_tokens, cum_tokens) for selected docs.
+
+    Shape: one shuffle keyed by source for the ordered running sum; the
+    budget filter is applied ON the cumulative column, so the scan of
+    each source stops mattering past the boundary (AQE-skew-safe: a huge
+    source is one partition of a window — salt upstream if a single
+    source dominates and the window itself becomes the bottleneck)."""
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    w = Window.partitionBy(source_col).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    budget = F.lit(None).cast("long")
+    for src, b in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == src, F.lit(b)).otherwise(budget)
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, source_col, "n_tokens", "cum_tokens")
+    )
+
+
 # PII scrubbing patterns, applied in order (most-specific first). Kept to
 # the portable regex subset both Java regex (Spark) and RE2 (DuckDB)
 # evaluate identically — no lookbehind/lookahead, no backreferences.

@@ -266,6 +266,39 @@ SELECT doc_id,
 FROM documents
 """
 
+# context-window chunking: 64-token windows, stride 56 (overlap 8);
+# list_slice end index is inclusive in DuckDB (begin + 64 - 1)
+CHUNK_DOCUMENTS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(floor((len(toks) - 1) / 56) AS INT))) AS chunk_idx
+  FROM w
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(list_slice(toks, chunk_idx * 56 + 1, chunk_idx * 56 + 64), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, chunk_idx * 56 + 1, chunk_idx * 56 + 64)) AS BIGINT) AS n_chunk_tokens
+FROM g
+"""
+
+# token-budgeted mixture: per-source running sum in doc_id order, cut at
+# each source's budget (sources without a budget contribute nothing)
+MIXTURE_SAMPLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 600
+                     WHEN 'src2' THEN 400 END AS budget
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= budget
+"""
+
 # PII scrub over planted PII (email/IP/phone derived from doc_id —
 # identical construction to the Spark query); replace order fixed, 'g'
 PII_SCRUB = r"""
@@ -764,6 +797,8 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": DOC_FINGERPRINT,
     "token_count_bpe": TOKEN_COUNT_BPE,
     "pii_scrub": PII_SCRUB,
+    "chunk_documents": CHUNK_DOCUMENTS,
+    "mixture_sample": MIXTURE_SAMPLE,
     "dedup_exact": DEDUP_EXACT,
     "minhash_signatures": MINHASH_SIGNATURES,
     "lsh_candidates": LSH_CANDIDATES,

@@ -333,6 +333,23 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.with_bpe_token_count(docs).select("doc_id", "n_tokens_bpe")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows, 8-token overlap —
+    narrow split→slice→posexplode fan-out, no Python, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
+MIXTURE_BUDGETS = {"src0": 800, "src1": 600, "src2": 400}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted training mix: per-source running token sum, docs
+    taken in id order until each source's budget fills."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.mixture_sample(docs, MIXTURE_BUDGETS)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction under the gate. The synthetic corpus carries no PII,
     so representative PII is PLANTED deterministically (email/IP/phone
@@ -589,6 +606,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "token_count_bpe": q_token_count_bpe,
     "pii_scrub": q_pii_scrub,
+    "chunk_documents": q_chunk_documents,
+    "mixture_sample": q_mixture_sample,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,

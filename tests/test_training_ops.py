@@ -401,3 +401,51 @@ def test_operators_tolerate_empty_inputs(spark):
     s1 = dedup.minhash_signatures(one)
     assert dedup.lsh_candidates(s1).count() == 0
     assert dedup.dedup_apply(one, empty_pairs).count() == 1
+
+
+def test_chunking_reconstructs_and_overlaps(spark):
+    """Chunks cover the doc exactly with `overlap` shared tokens between
+    neighbors; concatenating each chunk minus its overlap re-yields the
+    original token stream."""
+    text = " ".join(f"t{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = textops.chunk_documents(df, chunk_tokens=64, overlap=8)
+    rows = sorted(out.collect(), key=lambda r: r["chunk_idx"])
+    stride = 56
+    toks = text.split(" ")
+    assert len(rows) == (150 - 1) // stride + 1
+    rebuilt = []
+    for r in rows:
+        ct = r["chunk_text"].split(" ")
+        assert ct == toks[r["chunk_idx"] * stride : r["chunk_idx"] * stride + 64]
+        rebuilt.extend(ct if r["chunk_idx"] == 0 else ct[8:])
+    assert rebuilt == toks
+    # neighbors share exactly the 8 overlap tokens
+    assert rows[0]["chunk_text"].split(" ")[-8:] == rows[1]["chunk_text"].split(" ")[:8]
+
+
+def test_mixture_sample_budget_boundary(spark, docs):
+    """No selected source exceeds its budget, and for every source the
+    NEXT doc (first unselected) would have pushed it over — the cut is
+    tight, not arbitrary."""
+    budgets = {"src0": 800, "src1": 600}
+    out = textops.mixture_sample(docs, budgets)
+    got = out.collect()
+    assert got and {r["source"] for r in got} <= set(budgets)
+    per_src: dict = {}
+    for r in got:
+        per_src.setdefault(r["source"], []).append(r)
+    all_toks = {
+        (r["doc_id"], r["source"]): r["nt"]
+        for r in docs.select(
+            "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("nt")
+        ).collect()
+    }
+    for src, rows in per_src.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        assert rows[-1]["cum_tokens"] <= budgets[src]
+        nxt = sorted(
+            d for (d, s) in all_toks if s == src and d > rows[-1]["doc_id"]
+        )
+        if nxt:  # the first unselected doc would exceed the budget
+            assert rows[-1]["cum_tokens"] + all_toks[(nxt[0], src)] > budgets[src]
