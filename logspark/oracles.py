@@ -252,6 +252,23 @@ FROM (
 )
 """
 
+LANG_ID_CONFUSION = """
+SELECT lang AS lang_true,
+       CASE WHEN fr > en AND fr > de AND fr > 0 THEN 'fr'
+            WHEN de > en AND de > 0 THEN 'de'
+            WHEN en > 0 THEN 'en'
+            ELSE 'und' END AS lang_guess,
+       COUNT(*) AS n
+FROM (
+  SELECT lang,
+         len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of'))) AS en,
+         len(list_filter(w, t -> t IN ('der', 'die', 'das', 'und'))) AS de,
+         len(list_filter(w, t -> t IN ('le', 'la', 'et', 'les'))) AS fr
+  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+)
+GROUP BY 1, 2
+"""
+
 DOC_FINGERPRINT = """
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
@@ -794,6 +811,7 @@ ORACLES: dict[str, str] = {
     "token_stats": TOKEN_STATS,
     "quality_scores": QUALITY_SCORES,
     "lang_id": LANG_ID,
+    "lang_id_confusion": LANG_ID_CONFUSION,
     "doc_fingerprint": DOC_FINGERPRINT,
     "token_count_bpe": TOKEN_COUNT_BPE,
     "pii_scrub": PII_SCRUB,

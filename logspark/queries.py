@@ -323,6 +323,18 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.with_lang_guess(docs).select("doc_id", "lang_guess")
 
 
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation surface: confusion counts of the marker-word lang-ID
+    against the table's ground-truth lang column — makes the heuristic's
+    quality a measured, gated number instead of a claim."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        textops.with_lang_guess(docs)
+        .groupBy(F.col("lang").alias("lang_true"), "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return textops.with_fingerprint(docs).select("doc_id", "fingerprint")
@@ -603,6 +615,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
+    "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count_bpe": q_token_count_bpe,
     "pii_scrub": q_pii_scrub,
