@@ -52,6 +52,24 @@ def cap_buckets(
     )
 
 
+def dropped_buckets(
+    banded: DataFrame, max_bucket: int, keys: tuple[str, ...] = ("band", "key")
+) -> DataFrame:
+    """No silent caps: the report of what cap_buckets WILL drop —
+    (keys..., bucket_size, n_docs_affected rows) for every over-cap
+    bucket. Run it next to any capped join when you need the audit trail
+    ('what did the cap cost?'); it shares the capped join's (band, key)
+    shuffle shape, so at scale it is one extra aggregate, not a new plan
+    family. Members of dropped buckets are near-identical cliques that
+    exact dedup handles — this report is how you prove that claim on
+    your own corpus instead of trusting it."""
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups by normalized-text md5; returns (fingerprint, keeper, n_dups).
     keeper = min id — deterministic under any partitioning."""

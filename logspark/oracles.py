@@ -720,6 +720,20 @@ TRAINING_CORPUS = (
 WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)"""
 )
 
+# ANN recall@10 vs exact cosine top-10, per method — the full approx
+# queries nest as subqueries (DuckDB allows WITH inside a derived table)
+ANN_RECALL = f"""
+SELECT 'lsh' AS method,
+       round(COUNT(*) / 10.0, 6) AS recall_at_10
+FROM (SELECT vec_id FROM ({EMBED_ANN_LSH}) ) a
+JOIN (SELECT vec_id FROM ({EMBED_COSINE_TOPK}) ) e USING (vec_id)
+UNION ALL
+SELECT 'ivf',
+       round(COUNT(*) / 10.0, 6)
+FROM (SELECT vec_id FROM ({EMBED_IVF_TOPK}) ) a
+JOIN (SELECT vec_id FROM ({EMBED_COSINE_TOPK}) ) e USING (vec_id)
+"""
+
 # cluster resolution over EMBEDDING near-dup pairs (same recursive
 # reachability as DEDUP_APPLY — the machinery is pair-family-agnostic)
 EMBED_DEDUP_APPLY = (
@@ -837,6 +851,7 @@ ORACLES: dict[str, str] = {
     "embed_ivf_topk": EMBED_IVF_TOPK,
     "embed_near_dups": EMBED_NEAR_DUPS,
     "embed_dedup_apply": EMBED_DEDUP_APPLY,
+    "ann_recall": ANN_RECALL,
     "sink_counts_rollup": SINK_COUNTS_ROLLUP,
     "multimodal_features": MULTIMODAL_FEATURES,
 }

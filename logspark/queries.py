@@ -545,6 +545,28 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dups(emb, threshold=0.35, n_anchors=6, max_bucket=64)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation surface: recall@10 of both ANN paths against the exact
+    cosine top-10 — the number a user tunes nprobe/anchors against.
+    One row per method, fully declarative (no driver-side compare)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, query_id=0, k=10).select("vec_id")
+    rows = []
+    for method, approx in (
+        ("lsh", similarity.ann_topk(emb, query_id=0, n_anchors=6, k=10)),
+        ("ivf", similarity.ivf_topk(emb, query_id=0, n_anchors=6, nprobe=2, k=10)),
+    ):
+        rows.append(
+            approx.select("vec_id")
+            .join(exact, "vec_id")
+            .agg(
+                F.lit(method).alias("method"),
+                F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_10"),
+            )
+        )
+    return rows[0].unionByName(rows[1])
+
+
 def q_embed_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster resolution is family-agnostic: the same connected-components
     → min-id-survivor machinery applied to EMBEDDING near-dup pairs —
@@ -641,6 +663,7 @@ QUERIES = {
     "embed_ivf_topk": q_embed_ivf_topk,
     "embed_near_dups": q_embed_near_dups,
     "embed_dedup_apply": q_embed_dedup_apply,
+    "ann_recall": q_ann_recall,
     "sink_counts_rollup": q_sink_counts_rollup,
     "sink_payload_json": q_sink_payload_json,
     "multimodal_features": q_multimodal_features,

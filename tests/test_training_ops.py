@@ -449,3 +449,21 @@ def test_mixture_sample_budget_boundary(spark, docs):
         )
         if nxt:  # the first unselected doc would exceed the budget
             assert rows[-1]["cum_tokens"] + all_toks[(nxt[0], src)] > budgets[src]
+
+
+def test_dropped_buckets_report(spark):
+    """No silent caps: the audit report names exactly the buckets the cap
+    drops, with their sizes."""
+    clones = [(i, "the same boilerplate text repeated again and again here") for i in range(30)]
+    pair = [
+        (1000, "a genuinely unique document about spark partitioning strategy"),
+        (1001, "a genuinely unique document about spark partitioning strategy"),
+    ]
+    df = spark.createDataFrame(clones + pair, "doc_id bigint, text string")
+    banded = dedup.band_signatures(dedup.minhash_signatures(df, n_hashes=16))
+    rep = dedup.dropped_buckets(banded, max_bucket=10).collect()
+    assert rep and all(r["bucket_size"] == 30 for r in rep)  # only the clone buckets
+    # consistency: capped join drops exactly the docs of the reported buckets
+    capped = dedup.cap_buckets(banded, 10)
+    assert capped.filter(F.col("doc_id") < 1000).count() == 0
+    assert capped.filter(F.col("doc_id") >= 1000).count() > 0
