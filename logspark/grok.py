@@ -192,7 +192,12 @@ class GrokCompiler:
         else:
             raise GrokError(f"unknown anchor mode {anchor!r}")
         try:
-            rx = re.compile(expanded)
+            # re.ASCII: Python's Unicode \s includes \x1c-\x1f and \x85,
+            # Java's default \s is [ \t\n\x0B\f\r].  ASCII mode makes
+            # \s \S \w \d \b match the Java defaults exactly, so the pandas
+            # engine agrees with the native (JVM) engine on every byte —
+            # the two are interchangeable per-pattern fallback targets.
+            rx = re.compile(expanded, re.ASCII)
         except re.error as e:  # pragma: no cover - library patterns are valid
             raise GrokError(f"bad regex after expansion of {pattern!r}: {e}") from e
         return GrokPattern(source=pattern, regex=rx, fields=fields)
@@ -277,7 +282,8 @@ class CompiledGrok:
         matched = np.zeros(n, dtype=bool)
         cols: dict[str, np.ndarray] = {m: np.full(n, None, dtype=object) for m in names}
 
-        pre = re.compile(prefilter) if prefilter is not None else None
+        # re.ASCII for Java-default \s\S\w\d\b parity (see compile()).
+        pre = re.compile(prefilter, re.ASCII) if prefilter is not None else None
         if pre is not None:
             remaining = [
                 i for i, x in enumerate(arr)

@@ -413,6 +413,7 @@ def connected_components(
     b_col: str = "b",
     max_iter: int = 50,
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list → (node, component),
     component = MIN node id reachable from the node. Deterministic (all
@@ -430,25 +431,40 @@ def connected_components(
 
     100 TB shape: near-dup graphs are overwhelmingly tiny cliques/paths
     (clusters of boilerplate variants), so real corpora converge in 2-4
-    rounds; the doubling step guards the adversarial long-chain case."""
+    rounds; the doubling step guards the adversarial long-chain case.
+
+    Fault tolerance: the default `localCheckpoint` stores blocks on
+    executors ONLY — on a real cluster an executor loss mid-loop kills the
+    truncated lineage and the job. Pass `checkpoint_dir` (HDFS/object
+    store path) to switch every checkpoint in the loop to RELIABLE
+    `checkpoint()` — replicated, survives executor loss — at the cost of
+    a write per round. Local mode keeps the executor-local default."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     # Materialize the edge list ONCE: `pairs` usually carries an expensive
     # lineage (minhash → LSH → Jaccard verify), and every CC round joins
     # edges — without this checkpoint each round would re-execute the whole
     # upstream pipeline (measured 9.6 s → 2.5 s for dedup_clusters at sf0.1).
-    edges = (
+    edges = _ckpt(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     prev_sum = None
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         nbr = (
@@ -471,15 +487,28 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))).alias("label"),
             )
         )
-        labels = doubled.localCheckpoint(eager=True)
+        labels = _ckpt(doubled)
         row = labels.agg(F.sum("label").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
         if row["n"] == 0 or row["s"] == prev_sum:
+            converged = True
             break
         prev_sum = row["s"]
+    if not converged:
+        # non-converged labels would silently mis-cluster (ADVICE r3):
+        # dedup_apply would then drop/keep docs on wrong component ids.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "rounds; labels may be non-minimal — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if stats is not None:
         # observability hook: rounds-to-fixpoint (tests pin the O(log
         # diameter) claim with it; includes the final no-change round)
         stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -696,11 +725,17 @@ def incremental_near_dup_pairs(
     """Verified near-dup pairs INVOLVING the new batch: new-vs-new plus
     new-vs-already-ingested, then append the new signatures to the store.
 
-    Guarantee: unioning each run's pairs over a sequence of incremental
-    runs yields EXACTLY the full-corpus pair set (every pair {x, y} is
-    emitted by the run that ingests its later member), so incremental
-    ingestion and a one-shot whole-corpus run produce the same surviving
-    set under dedup_apply — property-tested and under the DuckDB gate.
+    Guarantee (for `max_bucket=None`, the gated configuration): unioning
+    each run's pairs over a sequence of incremental runs yields EXACTLY
+    the full-corpus pair set (every pair {x, y} is emitted by the run that
+    ingests its later member), so incremental ingestion and a one-shot
+    whole-corpus run produce the same surviving set under dedup_apply —
+    property-tested and under the DuckDB gate. With `max_bucket` SET the
+    equivalence does NOT hold exactly: the cap is evaluated per run on the
+    partial (old ∪ new) banded set, so a bucket under the cap in an early
+    run emits pairs that the one-shot run (where the bucket exceeds the
+    cap) would drop, and vice versa — capped incremental runs can diverge
+    from the one-shot capped run in either direction (ADVICE r3).
 
     Scale shape per run (N = corpus so far, B = new batch, B << N):
     - signatures computed for B only (the store holds the rest);

@@ -183,6 +183,14 @@ def ivf_assign_vectorized(
     left fold in the last ulp, which only matters under exact-tie
     hash comparison, not for recall)."""
     rows = centroids.orderBy("cell").collect()
+    if not rows:
+        # an empty centroid table would make the numpy kernel die with an
+        # opaque shape error inside an executor (ADVICE r3) — fail at plan
+        # time with the actual cause instead
+        raise ValueError(
+            "ivf_assign_vectorized: centroids is empty — train or seed "
+            "centroids before assignment (empty corpus upstream?)"
+        )
     import numpy as np
 
     C = np.array([r["cvec"] for r in rows], dtype=np.float64)
@@ -192,6 +200,8 @@ def ivf_assign_vectorized(
         import numpy as np
         import pandas as pd
 
+        if len(s) == 0:  # Arrow may hand the UDF an empty batch
+            return pd.Series([], dtype="int32")
         V = np.stack([np.asarray(v, dtype=np.float64) for v in s])
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
         return pd.Series((Vn @ Cn.T).argmax(axis=1).astype("int32"))
@@ -220,7 +230,15 @@ def train_ivf_centroids(
     Reproducible per machine/BLAS; pass False for the left-fold
     bit-exact-everywhere form (oracle queries don't gate training, so
     the default favors the production kernel)."""
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).first()
+    if first is None:
+        # .first() on an empty corpus returns None → opaque TypeError on
+        # the subscript (ADVICE r3); name the real problem instead
+        raise ValueError(
+            "train_ivf_centroids: corpus is empty — nothing to train on "
+            "(an empty scheduled partition should skip the IVF stage)"
+        )
+    dim = len(first[0])
     centroids = head_centroids(df, k, id_col, vec_col).localCheckpoint(eager=True)
     dv = F.col(vec_col).cast("array<double>")
     assign = ivf_assign_vectorized if vectorized else ivf_assign

@@ -168,29 +168,72 @@ def mixture_sample(
     source_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Token-budgeted mixture sampling: per source, take docs in id order
     until the source's cumulative token count exceeds its budget — how a
     training mix ('100B web, 20B code, …') is actually materialized.
     Output: (id, source, n_tokens, cum_tokens) for selected docs.
 
-    Shape: one shuffle keyed by source for the ordered running sum; the
-    budget filter is applied ON the cumulative column, so the scan of
-    each source stops mattering past the boundary (AQE-skew-safe: a huge
-    source is one partition of a window — salt upstream if a single
-    source dominates and the window itself becomes the bottleneck)."""
+    Scale shape — two-phase distributed prefix sum, NOT one window
+    partition per source (a real mixture has ~5-20 sources of terabytes
+    each; `Window.partitionBy(source)` would serialize every source's
+    whole token ledger through a single reducer):
+
+      1. keep only budgeted sources (native pushdown filter), tokenize
+         once, `repartitionByRange(P, source, id)` — each source spans
+         many order-respecting buckets (all ids in bucket b sort before
+         bucket b+1 within a source);
+      2. per-(bucket, source) partial token sums — map-side combine, then
+         a TINY (P x n_sources rows) driver collect computes each
+         bucket's exclusive prefix offset within its source;
+      3. per-(bucket, source) window computes the LOCAL running sum —
+         the window key now has P entries per source, so the largest
+         window partition is ~1/P of a source, not the source — plus the
+         broadcast offset join and the budget cut.
+
+    Buckets whose exclusive offset already exceeds the source budget are
+    dropped before the final window (on a 100 TB mixture the budget cut
+    usually lands in the first few buckets, so phase 3 touches a small
+    prefix of the corpus). `base` is persisted so phases 2 and 3 observe
+    the same bucket assignment (and tokenize once)."""
     from pyspark.sql.window import Window
 
+    spark = df.sparkSession
+    P = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     n_tok = F.size(tokens(F.col(text_col))).cast("long")
-    w = Window.partitionBy(source_col).orderBy(id_col).rowsBetween(
+    base = (
+        df.filter(F.col(source_col).isin(list(budgets)))
+        .select(F.col(id_col), F.col(source_col), n_tok.alias("n_tokens"))
+        .repartitionByRange(P, F.col(source_col), F.col(id_col))
+        .withColumn("_bkt", F.spark_partition_id())
+        .persist()
+    )
+    partials = (
+        base.groupBy("_bkt", source_col)
+        .agg(F.sum("n_tokens").alias("part_sum"))
+        .collect()
+    )
+    offsets: list[tuple[int, str, int]] = []
+    running: dict[str, int] = {}
+    for r in sorted(partials, key=lambda r: (r[source_col], r["_bkt"])):
+        off = running.get(r[source_col], 0)
+        # a bucket starting at/past the budget can contribute no rows
+        if off < budgets[r[source_col]]:
+            offsets.append((r["_bkt"], r[source_col], off))
+        running[r[source_col]] = off + r["part_sum"]
+    off_df = spark.createDataFrame(
+        offsets, f"_bkt int, {source_col} string, _off long"
+    )
+    w = Window.partitionBy("_bkt", source_col).orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     budget = F.lit(None).cast("long")
     for src, b in sorted(budgets.items()):
         budget = F.when(F.col(source_col) == src, F.lit(b)).otherwise(budget)
     return (
-        df.withColumn("n_tokens", n_tok)
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        base.join(F.broadcast(off_df), ["_bkt", source_col])
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w) + F.col("_off"))
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, source_col, "n_tokens", "cum_tokens")
     )

@@ -307,8 +307,11 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, source, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         -- CAST: DuckDB's windowed SUM(BIGINT) yields HUGEINT, which lands
+         -- in pandas as float64 and breaks the driver's value hash against
+         -- Spark's BIGINT (CORRECTNESS_r03 hash_match:false — values equal)
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
          CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 600
                      WHEN 'src2' THEN 400 END AS budget
   FROM t

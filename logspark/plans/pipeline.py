@@ -123,62 +123,80 @@ class WriterLock:
     data loss (ADVICE r2). logspark therefore enforces one writer per
     sink_root: `run()` acquires this lock for the write+GC+commit span and
     REFUSES (clear error, no deletion) if another live process holds it.
-    A lock left by a dead process (crash) is stolen — liveness comes from
-    the recorded pid, not a timeout, so there is no tuning knob to get
-    wrong. Multi-node note: on a shared filesystem the pid check is only
-    valid per-host; a cluster deployment swaps this seam for a lease in the
-    metastore/catalog (Iceberg commits give this for free)."""
+
+    Mechanics (ADVICE r3 hardening): the lock IS an `fcntl.flock` held on a
+    persistently-open fd — not the file's existence. The kernel releases a
+    flock when its holder dies, so a crashed writer's lock vanishes with it
+    (no steal step, hence no observe-then-unlink race where two stealers
+    both enter the GC-critical section, and no window where a reader sees
+    an empty just-created file and unlinks a LIVE writer's lock). The pid
+    written into the file is diagnostic only — it names the holder in the
+    refusal error. The file itself is never unlinked: unlink+flock has the
+    classic race (a waiter flocks an unlinked inode while a third process
+    creates a fresh file → two writers), and a leftover 16-byte file is
+    free. Multi-node note: flock over NFS/shared-fs semantics vary; a
+    cluster deployment swaps this seam for a lease in the metastore/catalog
+    (Iceberg commits give this for free)."""
+
+    # path → holding instance in THIS process (re-entrant acquire: nested
+    # run() under a watch() tick must not deadlock on its own flock)
+    _held: dict[str, "WriterLock"] = {}
 
     def __init__(self, sink_root: str):
         os.makedirs(sink_root, exist_ok=True)
         self.path = os.path.join(sink_root, ".writer.lock")
         self.acquired = False
-
-    def _pid_alive(self, pid: int) -> bool:
-        try:
-            os.kill(pid, 0)
-        except ProcessLookupError:
-            return False
-        except PermissionError:
-            return True
-        return True
+        self._fd: int | None = None
+        self._depth = 0
+        self._outer: "WriterLock | None" = None
 
     def __enter__(self) -> "WriterLock":
-        while True:
+        import fcntl
+
+        outer = WriterLock._held.get(self.path)
+        if outer is not None:
+            outer._depth += 1
+            self._outer = outer
+            return self
+        fd = os.open(self.path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
             try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                self.acquired = True
-                return self
-            except FileExistsError:
-                try:
-                    holder = int(open(self.path).read().strip() or "0")
-                except (OSError, ValueError):
-                    holder = 0
-                if holder == os.getpid():
-                    # re-entrant within the process (watch() ticks call run())
-                    return self
-                if holder and self._pid_alive(holder):
-                    raise RuntimeError(
-                        f"sink_root {os.path.dirname(self.path)!r} is locked by "
-                        f"live writer pid {holder}; logspark enforces a single "
-                        "writer per sink_root (concurrent runs would race the "
-                        "orphan-run GC)"
-                    )
-                # stale lock from a dead process — steal it
-                try:
-                    os.unlink(self.path)
-                except FileNotFoundError:
-                    pass
+                holder = int((os.read(fd, 64) or b"0").decode().strip() or "0")
+            except (OSError, ValueError):
+                holder = 0
+            os.close(fd)
+            raise RuntimeError(
+                f"sink_root {os.path.dirname(self.path)!r} is locked by "
+                f"live writer pid {holder}; logspark enforces a single "
+                "writer per sink_root (concurrent runs would race the "
+                "orphan-run GC)"
+            ) from None
+        os.ftruncate(fd, 0)
+        os.write(fd, str(os.getpid()).encode())
+        self._fd = fd
+        self._depth = 1
+        self.acquired = True
+        WriterLock._held[self.path] = self
+        return self
 
     def __exit__(self, *exc) -> None:
+        import fcntl
+
+        if self._outer is not None:
+            self._outer._depth -= 1
+            self._outer = None
+            return
         if self.acquired:
-            try:
-                os.unlink(self.path)
-            except FileNotFoundError:
-                pass
-            self.acquired = False
+            self._depth -= 1
+            if self._depth <= 0:
+                WriterLock._held.pop(self.path, None)
+                assert self._fd is not None
+                fcntl.flock(self._fd, fcntl.LOCK_UN)
+                os.close(self._fd)
+                self._fd = None
+                self.acquired = False
 
 
 def watch(

@@ -201,13 +201,15 @@ def test_run_gc_orphans_and_run_id_safety(spark, tiny_pdf, tmp_path, dims, mem_c
     assert len(res2.input_files) == 1  # only the new file
 
 
-def test_writer_lock_blocks_concurrent_and_steals_stale(spark, tiny_pdf, tmp_path, dims):
-    """Single-writer invariant (ADVICE r2): a sink_root locked by a LIVE
-    writer refuses a second run() — crucially BEFORE the orphan-run GC can
-    delete the live writer's in-flight runs/<id> directory. A lock left by
-    a dead process is stolen and the run proceeds."""
+def test_writer_lock_blocks_concurrent_and_releases_on_death(spark, tiny_pdf, tmp_path, dims):
+    """Single-writer invariant (ADVICE r2, flock'd per ADVICE r3): a
+    sink_root flock'd by a LIVE writer process refuses a second run() —
+    crucially BEFORE the orphan-run GC can delete the live writer's
+    in-flight runs/<id> directory. When the holder DIES the kernel drops
+    its flock, so the next run proceeds with no steal step."""
     import os
     import subprocess
+    import sys
 
     from logspark.sources.tableio import ParquetIO
 
@@ -219,17 +221,27 @@ def test_writer_lock_blocks_concurrent_and_steals_stale(spark, tiny_pdf, tmp_pat
     io = ParquetIO(str(tmp_path / "in"))
     cfg = canonical_config()
     sink_root = str(tmp_path / "out")
+    os.makedirs(sink_root, exist_ok=True)
+    lock_path = os.path.join(sink_root, ".writer.lock")
 
     # an in-flight (uncommitted) run dir of the concurrent writer
     inflight = tmp_path / "out" / "runs" / "other-writers-run" / "routed"
     inflight.mkdir(parents=True)
     (inflight / "part").write_text("x")
 
-    live = subprocess.Popen(["sleep", "60"])
+    holder_src = (
+        "import fcntl, os, sys, time\n"
+        "fd = os.open(sys.argv[1], os.O_CREAT | os.O_RDWR)\n"
+        "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+        "os.ftruncate(fd, 0); os.write(fd, str(os.getpid()).encode())\n"
+        "print('locked', flush=True)\n"
+        "time.sleep(60)\n"
+    )
+    live = subprocess.Popen(
+        [sys.executable, "-c", holder_src, lock_path], stdout=subprocess.PIPE
+    )
     try:
-        os.makedirs(sink_root, exist_ok=True)
-        with open(os.path.join(sink_root, ".writer.lock"), "w") as f:
-            f.write(str(live.pid))
+        assert live.stdout.readline().strip() == b"locked"
         with pytest.raises(RuntimeError, match="locked by live writer"):
             pipeline.run(spark, cfg, io, sink_root, run_id="mine", dims=dims)
         # the refusal happened before GC: the live writer's dir survived
@@ -238,12 +250,40 @@ def test_writer_lock_blocks_concurrent_and_steals_stale(spark, tiny_pdf, tmp_pat
         live.kill()
         live.wait()
 
-    # the holder is now dead → the lock is stale → stolen, run proceeds,
+    # the holder is dead → the kernel released its flock → run proceeds,
     # and the (now genuinely orphaned) dir is reaped
     res = pipeline.run(spark, cfg, io, sink_root, run_id="mine", dims=dims)
     assert res.sink_rows["parsed"] > 0
     assert not inflight.exists()
-    assert not os.path.exists(os.path.join(sink_root, ".writer.lock"))
+
+
+def test_writer_lock_reentrant_same_process(tmp_path):
+    """Nested acquire in one process must not self-deadlock (watch() tick
+    calling run()); inner exit must not release the outer hold."""
+    import fcntl
+    import os
+
+    from logspark.plans.pipeline import WriterLock
+
+    root = str(tmp_path / "s")
+    with WriterLock(root) as outer:
+        with WriterLock(root):
+            pass
+        # still held after inner exit: an independent flock attempt fails
+        fd = os.open(os.path.join(root, ".writer.lock"), os.O_RDWR)
+        try:
+            with pytest.raises(OSError):
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        finally:
+            os.close(fd)
+        assert outer.acquired
+    # fully released now
+    fd = os.open(os.path.join(root, ".writer.lock"), os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        fcntl.flock(fd, fcntl.LOCK_UN)
+    finally:
+        os.close(fd)
 
 
 def test_files_per_sink_caps_output_file_count(spark, tiny_pdf, tmp_path, dims):

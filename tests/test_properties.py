@@ -150,10 +150,11 @@ def test_routing_invariants_on_random_corpus(spark, transcripts, dims):
 # native (JVM) grok engine ≡ pandas engine — drawn corpora, both engines
 # ---------------------------------------------------------------------------
 
-# ASCII-only corpus: the documented Java/Python divergence is Unicode word
-# classes (Java \w is ASCII, Python's is Unicode) — out of contract for the
-# native engine. \x01 (the native engine's capture delimiter) is INCLUDED
-# to exercise the per-row collision fallback.
+# Full 7-bit corpus, including \x1c-\x1f: Python's *Unicode* \s includes
+# those (and \x85) while Java's default \s is [ \t\n\x0B\f\r], so the pandas
+# engine compiles with re.ASCII to pin \s\S\w\d\b to the Java defaults —
+# this corpus exercises exactly that boundary. \x01 (the native engine's
+# capture delimiter) is INCLUDED to exercise the per-row collision fallback.
 _ascii_lines = st.text(
     alphabet=st.characters(min_codepoint=1, max_codepoint=127),
     max_size=60,
@@ -216,3 +217,35 @@ def test_native_engine_carriage_return_parity(spark):
 
     matched = out.filter(~F.array_contains("tags", "_grokparsefailure")).count()
     assert matched == 3  # rows 0, 1, 3 ("head\rmid tail" lacks the ev prefix)
+
+
+def test_native_engine_control_char_whitespace_parity(spark):
+    """Deterministic \\x1c-\\x1f / \\x85 regression (VERDICT r3): Python's
+    Unicode \\s includes the information separators \\x1c-\\x1f and NEL
+    \\x85; Java's default \\s does not, so NOTSPACE (\\S+) matched them
+    natively but not in the pandas engine until the re.ASCII fix
+    (grok.py compile()).  Pin both engines on every such byte."""
+    from logspark.operators.filters import apply_filter_chain
+
+    lines = (
+        ["\x1c x", "\x1d x", "\x1e x", "\x1f x", "\x1f ", "\x85 x"]
+        + ["a\x1cb tail", "plain line", "\x0b x"]  # \x0b IS whitespace in both
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lines)], "rid int, text string"
+    )
+    base = {
+        "type": "grok",
+        "match": [r"%{NOTSPACE:head} %{GREEDYDATA:tail}"],
+        "accumulators": False,
+    }
+    cols = ["rid", "head", "tail", "tags"]
+    nat = apply_filter_chain(df, [dict(base, engine="native")]).select(*cols).collect()
+    pan = apply_filter_chain(df, [dict(base, engine="pandas")]).select(*cols).collect()
+    assert sorted(nat) == sorted(pan), (sorted(nat), sorted(pan))
+    # semantic spot-checks: \x1f is NOT whitespace (Java default), so
+    # "\x1f x" matches with head="\x1f"; "\x0b x" cannot match because
+    # NOTSPACE refuses \x0b and the literal space then has nothing to bind.
+    by_rid = {r["rid"]: r for r in nat}
+    assert by_rid[3]["head"] == "\x1f" and by_rid[3]["tail"] == "x"
+    assert "_grokparsefailure" in by_rid[8]["tags"]

@@ -206,6 +206,51 @@ def test_connected_components_equals_union_find(spark):
     # neighbor-min + doubling ≈ halves remaining depth per round:
     # 41-node path converges well under log2-ish rounds + slack
     assert stats["rounds"] <= 9, stats
+    assert stats["converged"] is True
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the loop to RELIABLE checkpoint() (survives
+    executor loss on a real cluster — VERDICT r3 #5): same labels as the
+    localCheckpoint default, and checkpoint files actually land on disk."""
+    import os
+
+    from logspark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)] + [(100, 101), (101, 102)],
+        "a bigint, b bigint",
+    )
+    ckdir = str(tmp_path / "cc_ck")
+    stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, stats=stats, checkpoint_dir=ckdir).collect()
+    }
+    expect = {i: 0 for i in range(21)} | {100: 100, 101: 100, 102: 100}
+    assert got == expect
+    assert stats["converged"] is True
+    # reliable checkpoints write rdd-* dirs under the checkpoint dir
+    found = [
+        f for root, _, files in os.walk(ckdir) for f in files if f.startswith("part-")
+    ]
+    assert found, f"no reliable checkpoint files under {ckdir}"
+
+
+def test_connected_components_warns_on_max_iter_exhaustion(spark):
+    """Non-convergence is loud (ADVICE r3): max_iter too small → warning +
+    converged=False in stats, never a silent wrong answer."""
+    import warnings
+
+    from logspark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(60)], "a bigint, b bigint")
+    stats: dict = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iter=1, stats=stats).collect()
+    assert stats["converged"] is False
+    assert any("no fixpoint" in str(x.message) for x in w), [str(x.message) for x in w]
 
 
 def test_dedup_apply_partition_invariants(spark, docs):
@@ -402,6 +447,18 @@ def test_operators_tolerate_empty_inputs(spark):
     assert dedup.lsh_candidates(s1).count() == 0
     assert dedup.dedup_apply(one, empty_pairs).count() == 1
 
+    # IVF guards (ADVICE r3): empty corpus / empty centroids fail with a
+    # NAMED error at plan time, not a shape error inside an executor
+    empty_emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="corpus is empty"):
+        similarity.train_ivf_centroids(empty_emb, k=4)
+    some_emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<float>"
+    )
+    empty_cent = spark.createDataFrame([], "cell int, cvec array<double>")
+    with pytest.raises(ValueError, match="centroids is empty"):
+        similarity.ivf_assign_vectorized(some_emb, empty_cent)
+
 
 def test_chunking_reconstructs_and_overlaps(spark):
     """Chunks cover the doc exactly with `overlap` shared tokens between
@@ -449,6 +506,65 @@ def test_mixture_sample_budget_boundary(spark, docs):
         )
         if nxt:  # the first unselected doc would exceed the budget
             assert rows[-1]["cum_tokens"] + all_toks[(nxt[0], src)] > budgets[src]
+
+
+def test_mixture_sample_spreads_window_across_buckets(spark):
+    """Scale shape (VERDICT r3 #4): the running sum must NOT be one window
+    partition per source.  With num_buckets=6 the physical Window node
+    keys on (_bkt, source), each source's ledger spans >1 bucket, and the
+    result still equals the naive single-window-per-source computation."""
+    from pyspark.sql.window import Window
+
+    rows = [
+        (i, f"src{i % 3}", " ".join(["w"] * (5 + i % 17)))
+        for i in range(600)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    budgets = {"src0": 1500, "src1": 900, "src2": 2500}
+    out = textops.mixture_sample(docs, budgets, num_buckets=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    win_lines = [l for l in plan.split("\n") if "Window" in l and "windowspecdefinition" in l]
+    assert win_lines and all("_bkt" in l for l in win_lines), plan
+    # no Window node partitioned on source alone
+    got = {(r["doc_id"], r["cum_tokens"]) for r in out.collect()}
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    budget = F.when(F.col("source") == "src0", 1500).when(
+        F.col("source") == "src1", 900
+    ).when(F.col("source") == "src2", 2500)
+    naive = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in docs.withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .collect()
+    }
+    assert got == naive
+    # every source's selected prefix really spans >1 range bucket: rebuild
+    # the bucket assignment the operator used and count distinct buckets
+    base = (
+        docs.filter(F.col("source").isin(list(budgets)))
+        .select("doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+        .repartitionByRange(6, F.col("source"), F.col("doc_id"))
+        .withColumn("_bkt", F.spark_partition_id())
+    )
+    ledger = {
+        r["source"]: r["nb"]
+        for r in base.groupBy("source").agg(F.countDistinct("_bkt").alias("nb")).collect()
+    }
+    assert all(nb > 1 for nb in ledger.values()), ledger  # no whole-source bucket
+    # and at least one selected prefix crosses a bucket boundary, so the
+    # exclusive-offset stitching is exercised (not just bucket 0 output)
+    sel_ids = {d for (d, _) in got}
+    touched = {
+        r["source"]: r["nb"]
+        for r in base.filter(F.col("doc_id").isin(list(sel_ids)))
+        .groupBy("source")
+        .agg(F.countDistinct("_bkt").alias("nb"))
+        .collect()
+    }
+    assert any(nb > 1 for nb in touched.values()), touched
 
 
 def test_dropped_buckets_report(spark):
