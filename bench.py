@@ -45,10 +45,8 @@ HEADLINE = [
     "winnow_fingerprints",
     "minhash_signatures",
     "lsh_candidates",
-    "lsh_candidates_capped",
     "ngram_jaccard_verified",
     "simhash",
-    "simhash_bands",
     "token_stats",
     "quality_scores",
     "embed_cosine_topk",

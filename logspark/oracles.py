@@ -405,8 +405,13 @@ def _lsh_select(max_bucket: int | None = None) -> str:
     return f"WITH {_lsh_ctes(max_bucket)}\nSELECT a, b FROM cand"
 
 
-LSH_CANDIDATES = _lsh_select()
-LSH_CANDIDATES_CAPPED = _lsh_select(max_bucket=20)
+# one gated entry for both banding forms (driver sweep caps at 50 entries):
+# capped=false = plain banding, capped=true = degenerate-bucket-capped
+LSH_CANDIDATES = (
+    f"SELECT a, b, FALSE AS capped FROM ({_lsh_select()})\n"
+    "UNION ALL\n"
+    f"SELECT a, b, TRUE AS capped FROM ({_lsh_select(max_bucket=20)})"
+)
 
 NGRAM_JACCARD = (
     _SHINGLES_CTE
@@ -565,19 +570,6 @@ SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
 FROM (SELECT doc_id,
              list_transform(string_split(text, ' '), t -> {H60.format(s='t')}) AS hs
       FROM documents)
-"""
-
-# simhash banding: INTEGER bit ops ((h >> shift) & mask) in both engines —
-# float division corrupts keys past double's 53-bit mantissa
-SIMHASH_BANDS = f"""
-WITH s AS ({SIMHASH}),
-b AS (
-  SELECT doc_id, g.band, (simhash >> (g.band * 15)) & 32767 AS key
-  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) g
-  QUALIFY COUNT(*) OVER (PARTITION BY g.band, (simhash >> (g.band * 15)) & 32767) <= 100
-)
-SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-FROM b l JOIN b r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
 """
 
 # SimHash verify: banded candidates → exact 60-bit Hamming distance
@@ -837,7 +829,6 @@ ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT,
     "minhash_signatures": MINHASH_SIGNATURES,
     "lsh_candidates": LSH_CANDIDATES,
-    "lsh_candidates_capped": LSH_CANDIDATES_CAPPED,
     "ngram_jaccard": NGRAM_JACCARD,
     "ngram_jaccard_verified": NGRAM_JACCARD_VERIFIED,
     "dedup_clusters": DEDUP_CLUSTERS,
@@ -845,7 +836,6 @@ ORACLES: dict[str, str] = {
     "incremental_dedup_pairs": INCREMENTAL_DEDUP_PAIRS,
     "training_corpus": TRAINING_CORPUS,
     "simhash": SIMHASH,
-    "simhash_bands": SIMHASH_BANDS,
     "simhash_verified": SIMHASH_VERIFIED,
     "winnow_fingerprints": WINNOW_FINGERPRINTS,
     "winnow_candidates": WINNOW_CANDIDATES,

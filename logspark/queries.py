@@ -392,17 +392,20 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both LSH banding forms in ONE gated result (the driver's sweep caps
+    at 50 entries, so the uncapped/capped pair share an entry, labeled by
+    the `capped` column): capped=false is plain banding; capped=true is
+    the 100 TB form — degenerate buckets (> max_bucket members) dropped
+    before the self-join, bounding pair fan-out."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, n_hashes=16)
-    return dedup.lsh_candidates(sigs, n_hashes=16, bands=4)
-
-
-def q_lsh_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of LSH banding: degenerate buckets (> max_bucket
-    members) dropped before the self-join, bounding pair fan-out."""
-    docs = _t(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, n_hashes=16)
-    return dedup.lsh_candidates(sigs, n_hashes=16, bands=4, max_bucket=20)
+    un = dedup.lsh_candidates(sigs, n_hashes=16, bands=4).withColumn(
+        "capped", F.lit(False)
+    )
+    cap = dedup.lsh_candidates(sigs, n_hashes=16, bands=4, max_bucket=20).withColumn(
+        "capped", F.lit(True)
+    )
+    return un.unionByName(cap)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,11 +505,6 @@ def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return textops.with_simhash(docs).select("doc_id", "simhash")
-
-
-def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_bands(textops.with_simhash(docs), n_bands=4, max_bucket=100)
 
 
 def q_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,7 +644,6 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
-    "lsh_candidates_capped": q_lsh_candidates_capped,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_verified": q_ngram_jaccard_verified,
     "dedup_clusters": q_dedup_clusters,
@@ -654,7 +651,6 @@ QUERIES = {
     "incremental_dedup_pairs": q_incremental_dedup_pairs,
     "training_corpus": q_training_corpus,
     "simhash": q_simhash,
-    "simhash_bands": q_simhash_bands,
     "simhash_verified": q_simhash_verified,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_candidates": q_winnow_candidates,
