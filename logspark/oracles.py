@@ -663,14 +663,30 @@ FROM s CROSS JOIN q
 ORDER BY sim DESC, vec_id LIMIT 10
 """
 
+# multi-probe IVF near-dups (the r4 DEFAULT embedding-dedup path): each
+# vector in its top-2 cells (rn <= 2 mirrors ivf_assign_multi's
+# sort_array+slice; d DESC, bit == descending (sim, -cell) structs);
+# DISTINCT folds pairs that co-occur in both shared cells — sim is the
+# same deterministic left fold in both engines, so duplicates are
+# bit-identical and collapse exactly.
+_IVF_MULTI_CTE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bit, v AS av
+      FROM v ORDER BY vec_id LIMIT 6),
+dots AS (SELECT v.vec_id, a.bit, {_COS_RAW.format(a='v.v', b='a.av')} AS d
+         FROM v CROSS JOIN a),
+cells AS (SELECT vec_id, bit AS cell FROM (
+            SELECT vec_id, bit,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, bit) AS rn
+            FROM dots) WHERE rn <= 2),
+lv AS (SELECT c.vec_id AS a, v.v AS va, c.cell FROM cells c JOIN v USING (vec_id)),
+rv AS (SELECT c.vec_id AS b_id, v.v AS vb, c.cell FROM cells c JOIN v USING (vec_id))"""
+
 EMBED_NEAR_DUPS = (
-    _BUCKETS_CTE
-    + f""",
-bc AS (SELECT * FROM b QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 64),
-lv AS (SELECT bc.vec_id AS a, v.v AS va, bc.bucket FROM bc JOIN v USING (vec_id)),
-rv AS (SELECT bc.vec_id AS b_id, v.v AS vb, bc.bucket FROM bc JOIN v USING (vec_id))
-SELECT a, b_id AS b, {_cos('va', 'vb')} AS sim
-FROM lv JOIN rv ON lv.bucket = rv.bucket AND lv.a < rv.b_id
+    _IVF_MULTI_CTE
+    + f"""
+SELECT DISTINCT a, b_id AS b, {_cos('va', 'vb')} AS sim
+FROM lv JOIN rv ON lv.cell = rv.cell AND lv.a < rv.b_id
 WHERE {_cos('va', 'vb')} >= 0.35
 """
 )
@@ -717,14 +733,21 @@ WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)"""
 
 # ANN recall@10 vs exact cosine top-10, per method — the full approx
 # queries nest as subqueries (DuckDB allows WITH inside a derived table)
+# is_default marks the config embedding_near_dups-style workflows run
+# (IVF, n=6, nprobe=2); meets_floor gates its recall against the 0.8
+# floor (logspark.queries.ANN_RECALL_FLOOR) under the value hash
 ANN_RECALL = f"""
 SELECT 'lsh' AS method,
-       round(COUNT(*) / 10.0, 6) AS recall_at_10
+       round(COUNT(*) / 10.0, 6) AS recall_at_10,
+       FALSE AS is_default,
+       round(COUNT(*) / 10.0, 6) >= 0.8 AS meets_floor
 FROM (SELECT vec_id FROM ({EMBED_ANN_LSH}) ) a
 JOIN (SELECT vec_id FROM ({EMBED_COSINE_TOPK}) ) e USING (vec_id)
 UNION ALL
 SELECT 'ivf',
-       round(COUNT(*) / 10.0, 6)
+       round(COUNT(*) / 10.0, 6),
+       TRUE,
+       round(COUNT(*) / 10.0, 6) >= 0.8
 FROM (SELECT vec_id FROM ({EMBED_IVF_TOPK}) ) a
 JOIN (SELECT vec_id FROM ({EMBED_COSINE_TOPK}) ) e USING (vec_id)
 """
@@ -733,14 +756,11 @@ JOIN (SELECT vec_id FROM ({EMBED_COSINE_TOPK}) ) e USING (vec_id)
 # reachability as DEDUP_APPLY — the machinery is pair-family-agnostic)
 EMBED_DEDUP_APPLY = (
     "WITH RECURSIVE "
-    + _BUCKETS_CTE.lstrip().removeprefix("WITH ")
+    + _IVF_MULTI_CTE.lstrip().removeprefix("WITH ")
     + f""",
-bc AS (SELECT * FROM b QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 64),
-lv AS (SELECT bc.vec_id AS a, v.v AS va, bc.bucket FROM bc JOIN v USING (vec_id)),
-rv AS (SELECT bc.vec_id AS b_id, v.v AS vb, bc.bucket FROM bc JOIN v USING (vec_id)),
 vp AS (
-  SELECT a, b_id AS b
-  FROM lv JOIN rv ON lv.bucket = rv.bucket AND lv.a < rv.b_id
+  SELECT DISTINCT a, b_id AS b
+  FROM lv JOIN rv ON lv.cell = rv.cell AND lv.a < rv.b_id
   WHERE {_cos('va', 'vb')} >= 0.35
 )"""
     + _CC_TAIL

@@ -535,31 +535,50 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """threshold=0.35, not a production 0.9+: the synthetic embeddings are
+    """The DEFAULT embedding-dedup path: multi-probe IVF cells (sign-LSH
+    measured recall@10 = 0.0 vs IVF 1.0 in the gated ann_recall eval, so
+    r4 demoted sign-bit bucketing to method='signbit' opt-in).
+
+    threshold=0.35, not a production 0.9+: the synthetic embeddings are
     near-isotropic (max within-bucket cosine ≈ 0.47 at sf0.01), so a high
     threshold made this oracle vacuously green at 0 rows (VERDICT r2 #1);
-    0.35 yields a real, hash-checked pair set at every test SF."""
+    0.35 yields a real, hash-checked pair set at every test SF (218 pairs
+    at sf0.01 — 10x the sign-bit path's 21, same threshold). No
+    max_bucket here: with 6 head-seeded cells every cell exceeds any
+    sane cap; production uses train_ivf_centroids at much larger k,
+    where cells are small and capping is meaningful."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(emb, threshold=0.35, n_anchors=6, max_bucket=64)
+    return similarity.embedding_near_dups(emb, threshold=0.35, n_anchors=6)
+
+
+ANN_RECALL_FLOOR = 0.8
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluation surface: recall@10 of both ANN paths against the exact
-    cosine top-10 — the number a user tunes nprobe/anchors against.
-    One row per method, fully declarative (no driver-side compare)."""
+    cosine top-10 — the number a user tunes nprobe/anchors against. One
+    row per method, fully declarative (no driver-side compare). The row
+    with is_default=true is the configuration embedding_near_dups-style
+    workflows actually run (IVF, n=6, nprobe=2); meets_floor gates it
+    against ANN_RECALL_FLOOR under the hash-checked oracle — a config
+    regression that drops default recall below the floor flips a gated
+    boolean, not just a number someone has to eyeball."""
     emb = _t(spark, sf_dir, "embeddings")
     exact = similarity.cosine_topk(emb, query_id=0, k=10).select("vec_id")
     rows = []
-    for method, approx in (
-        ("lsh", similarity.ann_topk(emb, query_id=0, n_anchors=6, k=10)),
-        ("ivf", similarity.ivf_topk(emb, query_id=0, n_anchors=6, nprobe=2, k=10)),
+    for method, is_default, approx in (
+        ("lsh", False, similarity.ann_topk(emb, query_id=0, n_anchors=6, k=10)),
+        ("ivf", True, similarity.ivf_topk(emb, query_id=0, n_anchors=6, nprobe=2, k=10)),
     ):
+        recall = F.round(F.count(F.lit(1)) / 10.0, 6)
         rows.append(
             approx.select("vec_id")
             .join(exact, "vec_id")
             .agg(
                 F.lit(method).alias("method"),
-                F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_10"),
+                recall.alias("recall_at_10"),
+                F.lit(is_default).alias("is_default"),
+                (recall >= ANN_RECALL_FLOOR).alias("meets_floor"),
             )
         )
     return rows[0].unionByName(rows[1])
@@ -568,9 +587,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster resolution is family-agnostic: the same connected-components
     → min-id-survivor machinery applied to EMBEDDING near-dup pairs —
-    the surviving vector ids after cosine-near-dup collapse."""
+    the surviving vector ids after cosine-near-dup collapse. Pairs come
+    from the r4 default path (multi-probe IVF, see q_embed_near_dups)."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_dups(emb, threshold=0.35, n_anchors=6, max_bucket=64)
+    pairs = similarity.embedding_near_dups(emb, threshold=0.35, n_anchors=6)
     return dedup.dedup_apply(emb, pairs, id_col="vec_id").select("vec_id")
 
 

@@ -387,6 +387,64 @@ def test_embedding_near_dups_threshold(emb):
     assert out.filter(F.col("sim") < 0.9).count() == 0
 
 
+def test_default_ann_recall_meets_floor(spark):
+    """The recommended/default ANN config (IVF — what embedding_near_dups
+    runs) must keep recall@10 ≥ ANN_RECALL_FLOOR on the test embeddings;
+    sign-LSH measured 0.0 there, which is why it is no longer the default
+    (VERDICT r3 #6)."""
+    from logspark.queries import ANN_RECALL_FLOOR, q_ann_recall
+
+    rows = {r["method"]: r for r in q_ann_recall(spark, "/root/testdata/sf0.001").collect()}
+    default = [r for r in rows.values() if r["is_default"]]
+    assert len(default) == 1 and default[0]["method"] == "ivf"
+    assert default[0]["recall_at_10"] >= ANN_RECALL_FLOOR
+    assert default[0]["meets_floor"] is True
+
+
+def test_ivf_assign_multi_matches_argmax_and_recovers_boundary_pairs(spark, emb):
+    """Multi-probe assignment: rank-1 cell equals the single-assign argmax
+    for every vector (same tie-break), each vector gets exactly nprobe
+    cells, and the IVF near-dup pair set is a superset of what
+    single-assignment bucketing would find (boundary pairs recovered)."""
+    sub = emb.limit(200)
+    cent = similarity.head_centroids(sub, 5)
+    single = {r["vec_id"]: r["cell"] for r in similarity.ivf_assign(sub, cent).collect()}
+    multi = similarity.ivf_assign_multi(sub, cent, nprobe=2).collect()
+    per_vec: dict = {}
+    for r in multi:
+        per_vec.setdefault(r["vec_id"], []).append(r["cell"])
+    assert all(len(cs) == 2 and len(set(cs)) == 2 for cs in per_vec.values())
+    # the top cell (first explode order) is the argmax cell
+    firsts = {vid: cs[0] for vid, cs in per_vec.items()}
+    assert firsts == single
+    # pair superset: single-assign cells ⊂ multi-probe cells
+    pairs_multi = {
+        (r["a"], r["b"])
+        for r in similarity.ivf_near_dups(sub, threshold=0.3, n_cells=5, nprobe=2).collect()
+    }
+    single_cells = spark.createDataFrame(
+        [(v, c) for v, c in single.items()], "vec_id bigint, cell int"
+    )
+    j = sub.join(single_cells, "vec_id")
+    l = j.select(F.col("vec_id").alias("a"), F.col("embedding").cast("array<double>").alias("va"), "cell")
+    r_ = j.select(F.col("vec_id").alias("b"), F.col("embedding").cast("array<double>").alias("vb"), "cell")
+    from logspark.operators.similarity import _dot, _norm
+
+    pairs_single = {
+        (row["a"], row["b"])
+        for row in l.join(r_, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+        .collect()
+    }
+    assert pairs_single <= pairs_multi
+    assert len(pairs_multi) > len(pairs_single)  # boundary pairs actually recovered
+
+
 def test_multimodal_feature_extraction(spark):
     media = multimodal.synth_media_df(spark, 30)
     feats = multimodal.extract_features(media, fake=True)
