@@ -275,12 +275,32 @@ SELECT doc_id,
 FROM documents
 """
 
-# same portable regex subset as textops.BPE_TOKEN_RE (Java regex == RE2 here)
-TOKEN_COUNT_BPE = """
+# same portable regex subset as textops.BPE_TOKEN_RE (Java regex == RE2
+# here), then the SAME sentinel-encode + rank-ordered replace() chain the
+# Spark side runs: replace() is left-to-right non-overlapping in both
+# engines, so the merged symbol sequences are byte-identical.
+def _bpe_word_count_sql(var: str) -> str:
+    from logspark.operators.textops import TOY_BPE_MERGES
+
+    sym = lambda s: "chr(2) || '" + s + "' || chr(3)"  # noqa: E731
+    expr = f"regexp_replace({var}, '(.)', chr(2) || '\\1' || chr(3), 'g')"
+    for x, y in TOY_BPE_MERGES:
+        expr = f"replace({expr}, {sym(x)} || {sym(y)}, {sym(x + y)})"
+    return f"(len(string_split({expr}, chr(2))) - 1)"
+
+
+TOKEN_COUNT_BPE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS toks
+  FROM documents
+)
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
-       AS n_tokens_bpe
-FROM documents
+       CAST(len(toks) AS BIGINT) AS n_pretokens,
+       CAST(COALESCE(list_sum(list_transform(toks, t ->
+           CASE WHEN regexp_matches(t, '^[A-Za-z]+$')
+                THEN {_bpe_word_count_sql('t')}
+                ELSE 1 END)), 0) AS BIGINT) AS n_tokens_bpe
+FROM t
 """
 
 # context-window chunking: 64-token windows, stride 56 (overlap 8);

@@ -341,8 +341,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-table-driven BPE count (r4: real merges, not just the
+    pre-tokenizer split — TOY_BPE_MERGES applied per alphabetic word)."""
     docs = _t(spark, sf_dir, "documents")
-    return textops.with_bpe_token_count(docs).select("doc_id", "n_tokens_bpe")
+    return textops.with_bpe_token_count(docs).select(
+        "doc_id", "n_pretokens", "n_tokens_bpe"
+    )
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

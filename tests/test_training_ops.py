@@ -30,6 +30,79 @@ def test_token_stats(docs):
     assert out["avg_token_len"] == pytest.approx(sum(map(len, toks)) / len(toks), abs=1e-6)
 
 
+def _reference_bpe_encode(word: str) -> list[str]:
+    """Classic min-rank-first BPE encoder (the HuggingFace/subword-nmt
+    shape): repeatedly merge the lowest-ranked adjacent pair present."""
+    ranks = {pair: i for i, pair in enumerate(textops.TOY_BPE_MERGES)}
+    syms = list(word)
+    while len(syms) > 1:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = (syms[i], syms[i + 1]), r
+        if best is None:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_merge_table_is_valid_cascade():
+    """Every multi-char merge component must be the product of an earlier
+    merge — the property that makes rank-ordered sequential replace()
+    equivalent to the classic min-rank-first encoder."""
+    formed = set()
+    for x, y in textops.TOY_BPE_MERGES:
+        for part in (x, y):
+            assert len(part) == 1 or part in formed, (x, y, part)
+        formed.add(x + y)
+    assert len(formed) == len(textops.TOY_BPE_MERGES)  # no duplicate merges
+
+
+def test_bpe_token_count_matches_reference_encoder(spark):
+    """The native replace()-chain count equals the classic BPE encoder on
+    a word list covering single merges, cascades (that/this/with/have),
+    unmergeable words, case sensitivity, digits and punctuation."""
+    words = [
+        "the", "that", "this", "what", "with", "have", "you", "are",
+        "was", "not", "for", "can", "thermal", "xyzzy", "q", "The",
+        "AND", "ing", "singing", "another", "understanding",
+    ]
+    text = " ".join(words) + " 123 ... 456!"
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    row = textops.with_bpe_token_count(df).first()
+    import re
+
+    pretoks = re.findall(textops.BPE_TOKEN_RE, text)
+    expect = sum(
+        len(_reference_bpe_encode(t)) if re.fullmatch("[A-Za-z]+", t) else 1
+        for t in pretoks
+    )
+    assert row["n_pretokens"] == len(pretoks)
+    assert row["n_tokens_bpe"] == expect
+    # merges actually fire: the BPE count is strictly below character count
+    assert row["n_tokens_bpe"] < sum(len(t) for t in pretoks)
+    # spot-check single words (note "with" is 3: rank-0 (t,h) fires before
+    # (i,t), so the 'ith' symbol never forms — classic BPE order effects)
+    for w, n in (
+        ("the", 1), ("that", 1), ("with", 3),
+        ("understanding", 6), ("xyzzy", 5),
+    ):
+        assert len(_reference_bpe_encode(w)) == n, w
+    # empty text → 0 tokens, not null
+    empty = spark.createDataFrame([(2, "")], "doc_id bigint, text string")
+    r0 = textops.with_bpe_token_count(empty).first()
+    assert r0["n_tokens_bpe"] == 0 and r0["n_pretokens"] == 0
+
+
 def test_quality(docs):
     row = textops.with_quality(docs).first()
     toks = row["text"].split(" ")
