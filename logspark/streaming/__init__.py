@@ -8,7 +8,11 @@ filter-chain / enrich / router functions applied per micro-batch via
 
 from logspark.streaming.foreach import make_batch_processor, stream_pipeline
 from logspark.streaming.sources import lines_to_transcripts, stream_source
-from logspark.streaming.stateful import streaming_exact_dedup, streaming_sessionize
+from logspark.streaming.stateful import (
+    streaming_exact_dedup,
+    streaming_near_dup_candidates,
+    streaming_sessionize,
+)
 
 __all__ = [
     "lines_to_transcripts",
@@ -16,5 +20,6 @@ __all__ = [
     "stream_pipeline",
     "stream_source",
     "streaming_exact_dedup",
+    "streaming_near_dup_candidates",
     "streaming_sessionize",
 ]

@@ -103,3 +103,93 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+NEAR_DUP_OUT_DDL = "a bigint, b bigint"
+NEAR_DUP_STATE_DDL = "ids array<bigint>, capped boolean"
+
+
+def _make_near_dup_fn(max_bucket: int | None):
+    def _near_dup_fn(key, pdfs, state):
+        """One (band, key) bucket per call — the streaming analogue of the
+        SignatureStore's band(new) ⋈ band(store ∪ new) join: state holds the
+        bucket's doc ids so far; a new batch emits new×stored + new×new
+        candidate pairs and appends itself to the state. A bucket that
+        exceeds max_bucket flips to capped: it emits nothing further and
+        its id list is dropped (state is O(1) from then on) — the
+        streaming mirror of dedup.cap_buckets' degenerate-bucket defense."""
+        import pandas as pd
+
+        if state.exists:
+            stored, capped = state.get
+            stored = list(stored)
+        else:
+            stored, capped = [], False
+        if capped:
+            for _ in pdfs:
+                pass
+            return iter(())
+        new = pd.concat(list(pdfs), ignore_index=True)
+        seen = set(stored)
+        new_ids = sorted({int(i) for i in new["doc_id"]} - seen)
+        if max_bucket is not None and len(stored) + len(new_ids) > max_bucket:
+            state.update(([], True))
+            return iter(())
+        pairs = [(min(n, o), max(n, o)) for n in new_ids for o in stored]
+        pairs += [
+            (new_ids[i], new_ids[j])
+            for i in range(len(new_ids))
+            for j in range(i + 1, len(new_ids))
+        ]
+        state.update((stored + new_ids, False))
+        if not pairs:
+            return iter(())
+        return iter([pd.DataFrame(pairs, columns=["a", "b"])])
+
+    return _near_dup_fn
+
+
+def streaming_near_dup_candidates(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Continuous MinHash/LSH near-dup candidate pairs over a document
+    stream — the streaming form of dedup.incremental_near_dup_pairs'
+    candidate stage (each arriving doc is 'the later member', so every
+    cross-run pair is emitted by the micro-batch that ingests it).
+
+    Per micro-batch: the zero-shuffle Arrow MinHash kernel signs the new
+    docs, banding explodes them to (band, key) rows, and per-bucket state
+    (the bucket's doc-id list) joins new against stored — across
+    micro-batches AND restarts via the checkpoint's state store, exactly
+    like the batch SignatureStore but with the store in streaming state
+    rather than parquet runs. Emits raw per-band pairs; a pair sharing
+    multiple bands appears once per band — distinct downstream (the
+    equivalence property test does, mirroring lsh_candidates' distinct).
+
+    Scope: CANDIDATES only. Jaccard verification needs both texts; the
+    stored member's text has left the stream, so verify runs as a batch
+    job over the corpus table (semi-join pruned to candidate-touched
+    docs), same as the batch path. State per bucket is O(bucket size),
+    bounded by max_bucket (capped buckets stop emitting and drop their
+    id list — dedup.cap_buckets' defense, applied continuously)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from logspark.operators.dedup import band_signatures, minhash_signatures
+
+    sigs = minhash_signatures(stream, id_col, text_col, n_hashes, k)
+    banded = band_signatures(sigs, id_col, n_hashes, bands).select(
+        "band", "key", F.col(id_col).cast("long").alias("doc_id")
+    )
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        _make_near_dup_fn(max_bucket),
+        outputStructType=NEAR_DUP_OUT_DDL,
+        stateStructType=NEAR_DUP_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
