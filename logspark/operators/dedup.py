@@ -517,12 +517,14 @@ def dedup_clusters(
     id_col: str = "doc_id",
     a_col: str = "a",
     b_col: str = "b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every doc in ≥1 verified near-dup pair;
     cluster_id = min doc_id of the doc's connected component — the keeper.
     Docs in no pair are singletons and are not listed (they trivially keep
-    themselves)."""
-    cc = connected_components(pairs, a_col, b_col)
+    themselves). `checkpoint_dir` switches the CC loop to reliable
+    checkpoints (see connected_components) — set it on a real cluster."""
+    cc = connected_components(pairs, a_col, b_col, checkpoint_dir=checkpoint_dir)
     return cc.select(F.col("node").alias(id_col), F.col("component").alias("cluster_id"))
 
 
@@ -531,6 +533,7 @@ def dedup_apply(
     pairs: DataFrame,
     id_col: str = "doc_id",
     broadcast_drop: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The deduplicated corpus: every near-dup cluster keeps exactly its
     min-id member; all other cluster members are dropped; unclustered docs
@@ -543,7 +546,7 @@ def dedup_apply(
     shuffles+sorts the whole corpus to drop <1% of it (plan-tested).
     `broadcast_drop=False` for the degenerate mostly-duplicates corpus
     where the drop list rivals the corpus."""
-    clusters = dedup_clusters(pairs, id_col)
+    clusters = dedup_clusters(pairs, id_col, checkpoint_dir=checkpoint_dir)
     drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     if broadcast_drop:
         drop = F.broadcast(drop)
