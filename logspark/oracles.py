@@ -692,7 +692,7 @@ ORDER BY sim DESC, vec_id LIMIT 10
 _IVF_MULTI_CTE = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 a AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bit, v AS av
-      FROM v ORDER BY vec_id LIMIT 6),
+      FROM v ORDER BY vec_id LIMIT 32),
 dots AS (SELECT v.vec_id, a.bit, {_COS_RAW.format(a='v.v', b='a.av')} AS d
          FROM v CROSS JOIN a),
 cells AS (SELECT vec_id, bit AS cell FROM (
