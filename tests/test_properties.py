@@ -249,3 +249,62 @@ def test_native_engine_control_char_whitespace_parity(spark):
     by_rid = {r["rid"]: r for r in nat}
     assert by_rid[3]["head"] == "\x1f" and by_rid[3]["tail"] == "x"
     assert "_grokparsefailure" in by_rid[8]["tags"]
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample: two-phase distributed prefix sum ≡ naive per-source window
+# ---------------------------------------------------------------------------
+
+_mix_rows = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),            # doc_id (dups dropped below)
+        st.sampled_from(["s0", "s1", "s2", "s3"]),
+        st.integers(1, 30),                # token count
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    _mix_rows,
+    st.integers(20, 400),  # s0/s2 budget
+    st.integers(1, 60),    # s1 budget
+    st.integers(2, 9),     # bucket count
+)
+def test_mixture_two_phase_equals_naive_window(spark, rows, b0, b1, nb):
+    """The bucket decomposition must be invisible: for ANY corpus, budget
+    set (one source deliberately unbudgeted), and bucket count, the
+    two-phase prefix sum selects exactly the rows the naive single-window
+    form would — including at bucket boundaries and for sources whose
+    budget dies inside bucket 0."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from logspark.operators import textops
+
+    seen: dict = {}
+    for d, s, n in rows:
+        seen.setdefault(d, (s, n))
+    data = [(d, s, " ".join(["w"] * n)) for d, (s, n) in sorted(seen.items())]
+    docs = spark.createDataFrame(data, "doc_id bigint, source string, text string")
+    budgets = {"s0": b0, "s1": b1, "s2": b0}  # s3 unbudgeted → excluded
+    got = {
+        (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+        for r in textops.mixture_sample(docs, budgets, num_buckets=nb).collect()
+    }
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    budget = F.when(F.col("source") == "s0", b0).when(F.col("source") == "s1", b1).when(
+        F.col("source") == "s2", b0
+    )
+    naive = {
+        (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+        for r in docs.withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .collect()
+    }
+    assert got == naive

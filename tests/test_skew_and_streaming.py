@@ -482,6 +482,24 @@ def test_streaming_near_dup_candidates_equals_batch_union(spark, tmp_path):
     # cross-run pair really exercised: (1,5) or (2,5) spans the restart
     assert any(p in got2 for p in [(1, 5), (2, 5)])
 
+    # the full streaming story: streamed CANDIDATES verified by the batch
+    # Jaccard step over the corpus table (the stored member's text is no
+    # longer in the stream) == the incremental path's VERIFIED pairs
+    streamed = spark.createDataFrame(sorted(got2), "a bigint, b bigint")
+    verified = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard(corpus, candidates=streamed, threshold=0.5).collect()
+    }
+    inc_half = set()
+    store2 = dedup.SignatureStore(str(tmp_path / "store2"))
+    for rid, rows in (("r1", batch1), ("r2", batch2)):
+        run_df = spark.createDataFrame(rows, ddl)
+        pairs = dedup.incremental_near_dup_pairs(
+            store2, run_df, corpus, run_id=rid, threshold=0.5
+        )
+        inc_half |= {(r["a"], r["b"]) for r in pairs.select("a", "b").collect()}
+    assert verified == inc_half and verified <= got2 and verified
+
 
 def test_streaming_near_dup_cap_poisons_degenerate_bucket(spark, tmp_path):
     """max_bucket in the streaming path: a bucket that exceeds the cap
