@@ -273,13 +273,40 @@ def test_connected_components_equals_union_find(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(40)], "a bigint, b bigint")
     got = {
         r["node"]: r["component"]
-        for r in connected_components(chain, stats=stats).collect()
+        for r in connected_components(chain, stats=stats, driver_threshold=0).collect()
     }
     assert got == {i: 0 for i in range(41)}
     # neighbor-min + doubling ≈ halves remaining depth per round:
     # 41-node path converges well under log2-ish rounds + slack
     assert stats["rounds"] <= 9, stats
     assert stats["converged"] is True
+
+
+def test_connected_components_driver_equals_distributed(spark):
+    """The size-gated driver union-find fast path must label EXACTLY like
+    the distributed pointer-doubling loop — mixed topology: chains,
+    cliques, a star, singleton pairs."""
+    from logspark.operators.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(0, 12)]            # chain
+        + [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]  # clique
+        + [(30, x) for x in range(31, 37)]            # star
+        + [(50, 51), (60, 61)]                        # singleton pairs
+    )
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+    s1, s2 = {}, {}
+    drv = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, stats=s1).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, stats=s2, driver_threshold=0).collect()
+    }
+    assert s1["strategy"] == "driver-union-find" and s2["strategy"] == "distributed"
+    assert drv == dist
+    assert drv[23] == 20 and drv[36] == 30 and drv[61] == 60
 
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
@@ -298,7 +325,9 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     stats: dict = {}
     got = {
         r["node"]: r["component"]
-        for r in connected_components(chain, stats=stats, checkpoint_dir=ckdir).collect()
+        for r in connected_components(
+            chain, stats=stats, checkpoint_dir=ckdir, driver_threshold=0
+        ).collect()
     }
     expect = {i: 0 for i in range(21)} | {100: 100, 101: 100, 102: 100}
     assert got == expect
@@ -321,7 +350,7 @@ def test_connected_components_warns_on_max_iter_exhaustion(spark):
     stats: dict = {}
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        connected_components(chain, max_iter=1, stats=stats).collect()
+        connected_components(chain, max_iter=1, stats=stats, driver_threshold=0).collect()
     assert stats["converged"] is False
     assert any("no fixpoint" in str(x.message) for x in w), [str(x.message) for x in w]
 
