@@ -308,3 +308,33 @@ def test_mixture_two_phase_equals_naive_window(spark, rows, b0, b1, nb):
         .collect()
     }
     assert got == naive
+
+
+# ---------------------------------------------------------------------------
+# BPE: native replace()-chain ≡ classic min-rank-first encoder, random words
+# ---------------------------------------------------------------------------
+
+# biased toward the merge-table letters so merges (incl. cascades) fire often
+_bpe_words = st.lists(
+    st.text(alphabet="theandingorswclmuvyfTHE", min_size=1, max_size=14),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_bpe_words)
+def test_bpe_chain_equals_classic_encoder_on_random_words(spark, words):
+    """For ANY alphabetic word, the rank-ordered sentinel replace() chain
+    must count exactly what the classic min-rank-first BPE encoder
+    produces — the sequential≡classic equivalence holds for the whole
+    input space, not just the curated word list."""
+    from logspark.operators import textops
+    from tests.test_training_ops import _reference_bpe_encode
+
+    words = [w for w in words if w] or ["the"]
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    row = textops.with_bpe_token_count(df).first()
+    expect = sum(len(_reference_bpe_encode(w)) for w in words)
+    assert row["n_tokens_bpe"] == expect, (text, row["n_tokens_bpe"], expect)
