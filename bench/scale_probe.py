@@ -66,13 +66,25 @@ def main() -> None:
     n_pairs = pairs.count()
     t["jaccard_verify_s"] = round(time.time() - t0, 2)
 
-    stats: dict = {}
+    # dedup_apply times whatever path the size gate picks (at ~5k verified
+    # pairs from 500k docs that is the driver union-find — realistic: pairs
+    # are rare); the DISTRIBUTED loop is then timed explicitly, since the
+    # 100 TB evidence is about that shape
     t0 = time.time()
     surviving = dedup.dedup_apply(docs, pairs)
     n_surv = surviving.count()
     t["cc_apply_s"] = round(time.time() - t0, 2)
 
+    t0 = time.time()
+    cc_stats: dict = {}
+    dedup.connected_components(pairs, stats=cc_stats, driver_threshold=0).count()
+    t["cc_distributed_s"] = round(time.time() - t0, 2)
+
     expected_dropped = sum(1 for i in range(n_docs) if i % 100 == 1)
+    # MinHash recall is probabilistic: a Jaccard≈0.96 pair misses one
+    # 4-row band w.p. 1-0.96^4 ≈ 0.147, all 4 bands w.p. 0.147^4 ≈ 4.7e-4
+    # → ~2.3 expected misses at 5000 planted pairs. Tolerate 5x that.
+    miss_budget = max(3, int(0.0047 * expected_dropped) + 3)
     print(
         "PROBE_RESULT "
         + json.dumps(
@@ -83,7 +95,10 @@ def main() -> None:
                 "survivors": n_surv,
                 "dropped": n_docs - n_surv,
                 "expected_dropped": expected_dropped,
-                "recall_ok": (n_docs - n_surv) == expected_dropped,
+                "recall_ok": expected_dropped - (n_docs - n_surv) <= miss_budget
+                and (n_docs - n_surv) <= expected_dropped,
+                "missed_pairs": expected_dropped - (n_docs - n_surv),
+                "cc_rounds_distributed": cc_stats.get("rounds"),
                 **t,
                 "total_s": round(sum(t.values()), 2),
             }
