@@ -162,6 +162,36 @@ def chunk_documents(
     )
 
 
+def mixture_sample_ratios(
+    df: DataFrame,
+    total_tokens: int,
+    ratios: dict[str, float],
+    **kwargs,
+) -> DataFrame:
+    """Ratio-form mixture spec — how a training mix is usually written
+    ('70% web, 20% code, 10% papers of a 1T-token budget'): converts
+    (total_tokens, ratios) to absolute per-source budgets and delegates
+    to `mixture_sample` (same two-phase prefix-sum shape). Ratios must be
+    positive and sum to ≤ 1 (a strict subset leaves budget unspent by
+    intent); floor rounding means at most len(ratios) tokens of the total
+    are unassigned."""
+    if not ratios:
+        raise ValueError("mixture_sample_ratios: empty ratio dict")
+    if any(r <= 0 for r in ratios.values()):
+        raise ValueError(f"mixture_sample_ratios: non-positive ratio in {ratios}")
+    if sum(ratios.values()) > 1 + 1e-9:
+        raise ValueError(
+            f"mixture_sample_ratios: ratios sum to {sum(ratios.values()):.4f} > 1"
+        )
+    budgets = {src: int(total_tokens * r) for src, r in ratios.items()}
+    if any(b <= 0 for b in budgets.values()):
+        raise ValueError(
+            f"mixture_sample_ratios: total_tokens={total_tokens} too small for "
+            f"ratios {ratios} (a source's budget floors to 0)"
+        )
+    return mixture_sample(df, budgets, **kwargs)
+
+
 def mixture_sample(
     df: DataFrame,
     budgets: dict[str, int],
@@ -316,6 +346,27 @@ def _bpe_word_token_count(t):
             F.lit(f"{_SYM_L}{x}{y}{_SYM_R}"),
         )
     return F.size(F.split(s, _SYM_L)) - 1
+
+
+def bpe_tokenize(col, merges: list[tuple[str, str]] | None = None):
+    """Column expression: one alphabetic word → array of its BPE pieces
+    under `merges` (default TOY_BPE_MERGES). The merge chain materializes
+    the sentinel-encoded symbol string anyway; the pieces are just its
+    \\x02-splits with the \\x03 terminators stripped. Native end-to-end.
+
+    For full-text tokenization compose with the pre-tokenizer:
+    ``F.flatten(F.transform(F.regexp_extract_all(text, BPE_TOKEN_RE, 0),
+    lambda t: F.when(t.rlike('^[A-Za-z]+$'), bpe_tokenize(t))
+    .otherwise(F.array(t))))``."""
+    s = F.regexp_replace(col, "(.)", f"{_SYM_L}$1{_SYM_R}")
+    for x, y in merges or TOY_BPE_MERGES:
+        s = F.replace(
+            s,
+            F.lit(f"{_SYM_L}{x}{_SYM_R}{_SYM_L}{y}{_SYM_R}"),
+            F.lit(f"{_SYM_L}{x}{y}{_SYM_R}"),
+        )
+    pieces = F.slice(F.split(s, _SYM_L), 2, 2_000_000)  # drop leading empty
+    return F.transform(pieces, lambda p: F.replace(p, F.lit(_SYM_R), F.lit("")))
 
 
 def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:

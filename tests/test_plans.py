@@ -192,6 +192,38 @@ def test_ivf_assignment_is_broadcast_join_not_literal_chain(spark):
     assert got.count() == 5
 
 
+def test_ivf_multi_probe_plan_shape(spark):
+    """ivf_assign_multi / ivf_near_dups plan invariants (r4): centroids
+    join in as ONE broadcast per assignment (corpus never shuffles for
+    scoring), the top-nprobe collapse is a partial+final aggregate (map-
+    side combine collapses the k candidate rows before the exchange), no
+    literal when-chain, and the cell self-join is an equi-join on cell —
+    never an unbroadcast cartesian."""
+    import numpy as np
+
+    from logspark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = similarity.head_centroids(emb, 64)
+
+    m = similarity.ivf_assign_multi(emb, cents, nprobe=2)
+    plan = _plan(m)
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") == 1, plan
+    assert "CASE WHEN" not in plan
+    assert "partial_" in plan or "HashAggregate" in plan, plan  # map-side combine
+    assert "CartesianProduct" not in plan
+
+    nd = similarity.ivf_near_dups(emb, threshold=0.2, n_cells=64, nprobe=2)
+    plan = _plan(nd)
+    assert "CartesianProduct" not in plan, plan
+    # two assignment branches → two broadcast centroid joins; the cell
+    # self-join itself may be BHJ (AQE, small side) or SMJ — either is an
+    # equi-join on cell, which is what matters
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
 def test_ivf_vectorized_kernel_matches_declarative(spark):
     """The zero-shuffle numpy assignment kernel (production path) agrees
     with the declarative broadcast-join argmax on every row."""

@@ -101,6 +101,14 @@ def test_bpe_token_count_matches_reference_encoder(spark):
     empty = spark.createDataFrame([(2, "")], "doc_id bigint, text string")
     r0 = textops.with_bpe_token_count(empty).first()
     assert r0["n_tokens_bpe"] == 0 and r0["n_pretokens"] == 0
+    # bpe_tokenize yields the actual pieces, not just their count
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["pieces"]
+        for r in wdf.select("w", textops.bpe_tokenize(F.col("w")).alias("pieces")).collect()
+    }
+    for w in words:
+        assert got[w] == _reference_bpe_encode(w), w
 
 
 def test_quality(docs):
@@ -666,6 +674,26 @@ def test_mixture_sample_budget_boundary(spark, docs):
         )
         if nxt:  # the first unselected doc would exceed the budget
             assert rows[-1]["cum_tokens"] + all_toks[(nxt[0], src)] > budgets[src]
+
+
+def test_mixture_sample_ratios(spark):
+    """Ratio-form spec == absolute budgets at floor(total*ratio); invalid
+    specs fail loudly at plan time."""
+    rows = [(i, f"src{i % 2}", " ".join(["w"] * 10)) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    via_ratios = textops.mixture_sample_ratios(
+        docs, total_tokens=1000, ratios={"src0": 0.3, "src1": 0.2}
+    ).collect()
+    via_budgets = textops.mixture_sample(docs, {"src0": 300, "src1": 200}).collect()
+    assert sorted(map(tuple, via_ratios)) == sorted(map(tuple, via_budgets))
+    for bad, msg in (
+        ({}, "empty"),
+        ({"src0": -0.1}, "non-positive"),
+        ({"src0": 0.9, "src1": 0.2}, "> 1"),
+        ({"src0": 1e-9}, "floors to 0"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            textops.mixture_sample_ratios(docs, 1000, bad)
 
 
 def test_mixture_sample_spreads_window_across_buckets(spark):
