@@ -440,6 +440,13 @@ def connected_components(
     store path) to switch every checkpoint in the loop to RELIABLE
     `checkpoint()` — replicated, survives executor loss — at the cost of
     a write per round. Local mode keeps the executor-local default.
+    Caveats the CALLER owns with `checkpoint_dir`: (a) it calls
+    `setCheckpointDir`, which is SparkContext-global — coordinate with
+    other jobs sharing the context; (b) the per-round rdd-* files are not
+    auto-deleted (they back the returned DataFrame's lineage) — delete
+    the directory after the job's results are written, or set
+    `spark.cleaner.referenceTracking.cleanCheckpoints=true` to let the
+    ContextCleaner reap them on GC.
 
     Size-adaptive strategy: verified near-dup pair sets are usually TINY
     relative to the corpus (pairs are the exception, not the rule), and
@@ -473,7 +480,10 @@ def connected_components(
         .distinct()
     )
     n_edges = edges.count()  # on the checkpointed blocks — no recompute
-    if n_edges <= driver_threshold:
+    # driver_threshold > 0 guard: threshold=0 is the documented "force the
+    # distributed loop" escape hatch and must hold even for an EMPTY edge
+    # list (probes/tests read stats['strategy'] to know which path ran)
+    if driver_threshold > 0 and n_edges <= driver_threshold:
         parent: dict = {}
 
         def find(x):

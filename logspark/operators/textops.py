@@ -230,14 +230,23 @@ def mixture_sample(
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
-    P = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if num_buckets is not None and num_buckets <= 0:
+        raise ValueError(f"mixture_sample: num_buckets must be positive, got {num_buckets}")
+    P = (
+        num_buckets
+        if num_buckets is not None
+        else int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
     n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    # localCheckpoint, not persist: pins the bucket assignment AND avoids
+    # leaking a CacheManager entry per call (persist() has no natural
+    # unpersist point here — the returned plan still references base)
     base = (
         df.filter(F.col(source_col).isin(list(budgets)))
         .select(F.col(id_col), F.col(source_col), n_tok.alias("n_tokens"))
         .repartitionByRange(P, F.col(source_col), F.col(id_col))
         .withColumn("_bkt", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     partials = (
         base.groupBy("_bkt", source_col)
@@ -252,8 +261,18 @@ def mixture_sample(
         if off < budgets[r[source_col]]:
             offsets.append((r["_bkt"], r[source_col], off))
         running[r[source_col]] = off + r["part_sum"]
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
     off_df = spark.createDataFrame(
-        offsets, f"_bkt int, {source_col} string, _off long"
+        offsets,
+        StructType(
+            [
+                StructField("_bkt", IntegerType()),
+                # derive, don't assume string: integer source codes etc.
+                StructField(source_col, df.schema[source_col].dataType),
+                StructField("_off", LongType()),
+            ]
+        ),
     )
     w = Window.partitionBy("_bkt", source_col).orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -359,7 +378,9 @@ def bpe_tokenize(col, merges: list[tuple[str, str]] | None = None):
     lambda t: F.when(t.rlike('^[A-Za-z]+$'), bpe_tokenize(t))
     .otherwise(F.array(t))))``."""
     s = F.regexp_replace(col, "(.)", f"{_SYM_L}$1{_SYM_R}")
-    for x, y in merges or TOY_BPE_MERGES:
+    # `is not None`, not truthiness: merges=[] legitimately requests pure
+    # character tokenization (zero merges)
+    for x, y in TOY_BPE_MERGES if merges is None else merges:
         s = F.replace(
             s,
             F.lit(f"{_SYM_L}{x}{_SYM_R}{_SYM_L}{y}{_SYM_R}"),

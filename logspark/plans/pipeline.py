@@ -145,6 +145,11 @@ class WriterLock:
     def __init__(self, sink_root: str):
         os.makedirs(sink_root, exist_ok=True)
         self.path = os.path.join(sink_root, ".writer.lock")
+        # re-entrancy keys on the RESOLVED path: './out' vs 'out' vs a
+        # symlinked spelling must all map to one held entry, else a nested
+        # acquire flocks a second fd on the same inode and refuses against
+        # its own process
+        self._key = os.path.realpath(self.path)
         self.acquired = False
         self._fd: int | None = None
         self._depth = 0
@@ -153,7 +158,7 @@ class WriterLock:
     def __enter__(self) -> "WriterLock":
         import fcntl
 
-        outer = WriterLock._held.get(self.path)
+        outer = WriterLock._held.get(self._key)
         if outer is not None:
             outer._depth += 1
             self._outer = outer
@@ -178,7 +183,7 @@ class WriterLock:
         self._fd = fd
         self._depth = 1
         self.acquired = True
-        WriterLock._held[self.path] = self
+        WriterLock._held[self._key] = self
         return self
 
     def __exit__(self, *exc) -> None:
@@ -191,7 +196,7 @@ class WriterLock:
         if self.acquired:
             self._depth -= 1
             if self._depth <= 0:
-                WriterLock._held.pop(self.path, None)
+                WriterLock._held.pop(self._key, None)
                 assert self._fd is not None
                 fcntl.flock(self._fd, fcntl.LOCK_UN)
                 os.close(self._fd)

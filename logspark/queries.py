@@ -402,7 +402,9 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB form — degenerate buckets (> max_bucket members) dropped
     before the self-join, bounding pair fan-out."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, n_hashes=16)
+    # materialize signatures once: the union's two branches would each
+    # re-run the Arrow MinHash kernel over the corpus otherwise
+    sigs = dedup.minhash_signatures(docs, n_hashes=16).localCheckpoint(eager=True)
     un = dedup.lsh_candidates(sigs, n_hashes=16, bands=4).withColumn(
         "capped", F.lit(False)
     )

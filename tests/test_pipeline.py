@@ -257,6 +257,32 @@ def test_writer_lock_blocks_concurrent_and_releases_on_death(spark, tiny_pdf, tm
     assert not inflight.exists()
 
 
+def test_writer_lock_reentrant_across_path_spellings(tmp_path):
+    """'out', './out', 'out/' and a symlinked spelling are the SAME lock:
+    re-entrancy keys on the resolved path, else a nested acquire flocks a
+    second fd on the same inode and refuses against its own process."""
+    import os
+
+    from logspark.plans.pipeline import WriterLock
+
+    root = tmp_path / "out"
+    root.mkdir()
+    link = tmp_path / "lnk"
+    os.symlink(root, link)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        with WriterLock("out"):
+            with WriterLock("./out"):
+                pass
+            with WriterLock(str(link)):
+                pass
+            with WriterLock("out/"):
+                pass
+    finally:
+        os.chdir(cwd)
+
+
 def test_writer_lock_reentrant_same_process(tmp_path):
     """Nested acquire in one process must not self-deadlock (watch() tick
     calling run()); inner exit must not release the outer hold."""
