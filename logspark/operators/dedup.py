@@ -785,6 +785,7 @@ def incremental_near_dup_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    replay: bool = False,
 ) -> DataFrame:
     """Verified near-dup pairs INVOLVING the new batch: new-vs-new plus
     new-vs-already-ingested, then append the new signatures to the store.
@@ -814,7 +815,18 @@ def incremental_near_dup_pairs(
     new_sigs = minhash_signatures(new_docs, id_col, text_col, n_hashes, k)
     old_sigs = store.load(new_docs.sparkSession)
 
-    all_sigs = new_sigs if old_sigs is None else old_sigs.unionByName(new_sigs)
+    if replay:
+        # crash replay AFTER the store commit (run_id already committed):
+        # this run's signatures are already in old_sigs — band against the
+        # store alone and skip the append; the pair set is identical to
+        # the original attempt's (signatures are deterministic)
+        if run_id not in store.committed_runs() or old_sigs is None:
+            raise ValueError(
+                f"replay=True but run {run_id!r} is not committed in the store"
+            )
+        all_sigs = old_sigs
+    else:
+        all_sigs = new_sigs if old_sigs is None else old_sigs.unionByName(new_sigs)
     all_b = cap_buckets(band_signatures(all_sigs, id_col, n_hashes, bands), max_bucket)
     new_ids = new_sigs.select(id_col)
     new_b = all_b.join(new_ids, id_col, "leftsemi")
@@ -840,5 +852,6 @@ def incremental_near_dup_pairs(
     verified = ngram_jaccard(
         touched, id_col, text_col, k, threshold=threshold, candidates=pairs
     )
-    store.append(new_sigs, run_id)
+    if not replay:
+        store.append(new_sigs, run_id)
     return verified

@@ -1,0 +1,92 @@
+"""Continuous-ingestion dedup agent: the watch() pattern applied to
+near-duplicate detection (SURVEY.md §3.1 agent mode x the training-data
+dedup family).
+
+Each tick:
+
+  1. manifest-pending input files (same resume seam as the parse→route
+     pipeline: crash mid-tick → same run_id → idempotent overwrite);
+  2. `incremental_near_dup_pairs` — MinHash signatures for the NEW batch
+     only, banding against the `SignatureStore` (store ∪ new), Jaccard
+     verify reading texts only for candidate-touched docs;
+  3. verified pairs written under runs/<run_id>/pairs, then the manifest
+     commit marks the files processed (write-then-commit, like run()).
+
+Union-of-ticks == one-shot whole-corpus pairs (the incremental
+guarantee, max_bucket=None), so a corpus ingested file-by-file over
+days yields exactly the pair set a from-scratch batch job would — the
+operational shape of continuous training-data ingestion.
+
+Single-writer: each tick holds the sink_root's WriterLock (flock), so a
+concurrent ad-hoc tick cannot race the manifest commit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from logspark.operators.dedup import SignatureStore, incremental_near_dup_pairs
+from logspark.plans.pipeline import WriterLock
+from logspark.sources import manifest as mf
+from logspark.sources.tableio import ParquetIO
+
+
+def dedup_tick(
+    spark: SparkSession,
+    io: ParquetIO,
+    table: str,
+    sink_root: str,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> dict:
+    """One agent tick. Returns {run_id, new_files, n_pairs} (run_id None
+    when nothing is pending). Safe to call from a watch()-style loop."""
+    with WriterLock(sink_root):
+        all_files = io.input_files(spark, table)
+        pending = mf.pending_files(all_files, mf.load_manifest(sink_root))
+        if not pending:
+            return {"run_id": None, "new_files": [], "n_pairs": 0}
+        rid = "d-" + hashlib.md5("\n".join(sorted(pending)).encode()).hexdigest()[:12]
+        store = SignatureStore(os.path.join(sink_root, "sigstore"))
+        new_docs = io.read_files(spark, table, pending)
+        corpus = io.read(spark, table)  # verify stage texts (semi-join pruned)
+        # crash replay: a tick that died between the store commit and the
+        # manifest commit retries under the SAME rid (derived from the
+        # pending set) — signatures are already ingested, so recompute the
+        # identical pair set without re-appending
+        replay = rid in store.committed_runs()
+        pairs = incremental_near_dup_pairs(
+            store,
+            new_docs,
+            corpus,
+            run_id=rid,
+            threshold=threshold,
+            n_hashes=n_hashes,
+            bands=bands,
+            k=k,
+            replay=replay,
+        )
+        out = os.path.join(sink_root, "runs", rid, "pairs")
+        pairs.write.mode("overwrite").parquet(out)
+        n_pairs = spark.read.parquet(out).count()
+        mf.commit_run(sink_root, mf.RunRecord(run_id=rid, input_files=pending))
+        return {"run_id": rid, "new_files": pending, "n_pairs": n_pairs}
+
+
+def all_pairs(spark: SparkSession, sink_root: str) -> DataFrame:
+    """The union of every committed tick's verified pairs — by the
+    incremental guarantee, equal to the one-shot whole-corpus pair set."""
+    m = mf.load_manifest(sink_root)
+    paths = [
+        os.path.join(sink_root, "runs", r.run_id, "pairs")
+        for r in m.runs
+        if os.path.isdir(os.path.join(sink_root, "runs", r.run_id, "pairs"))
+    ]
+    if not paths:
+        return spark.createDataFrame([], "a bigint, b bigint, jaccard double")
+    return spark.read.parquet(*paths).dropDuplicates(["a", "b"])

@@ -429,3 +429,63 @@ def test_json_filter_schema_with_failure_tag(spark):
     rows = {r["id"]: r for r in out.collect()}
     assert rows["a"]["k"] == 5 and list(rows["a"]["tags"]) == []
     assert rows["b"]["k"] is None and "_jsonparsefailure" in list(rows["b"]["tags"])
+
+
+def test_dedup_agent_ticks_equal_whole_corpus(spark, tmp_path):
+    """Continuous-ingestion dedup agent: files arriving across ticks yield
+    (via all_pairs) exactly the one-shot whole-corpus verified pair set,
+    a no-pending tick is a no-op, and a crash replay between the store
+    commit and the manifest commit retries idempotently."""
+    import os
+
+    from logspark.operators import dedup
+    from logspark.plans import dedup_agent
+    from logspark.sources.tableio import ParquetIO
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    b1 = [(1, base), (2, base + " today"), (3, "totally different content here okay")]
+    b2 = [(4, base + " yesterday"), (5, "totally different content here okay now")]
+    import pandas as pd
+
+    tbl = tmp_path / "in" / "docs.parquet"
+    tbl.mkdir(parents=True)
+    ddl = "doc_id bigint, text string"
+    pd.DataFrame(b1, columns=["doc_id", "text"]).to_parquet(tbl / "f1.parquet")
+    io = ParquetIO(str(tmp_path / "in"))
+    sink = str(tmp_path / "agent")
+
+    r1 = dedup_agent.dedup_tick(spark, io, "docs", sink, threshold=0.5)
+    assert r1["run_id"] and len(r1["new_files"]) == 1
+    # no new files -> no-op tick
+    r_noop = dedup_agent.dedup_tick(spark, io, "docs", sink)
+    assert r_noop["run_id"] is None
+
+    pd.DataFrame(b2, columns=["doc_id", "text"]).to_parquet(tbl / "f2.parquet")
+    r2 = dedup_agent.dedup_tick(spark, io, "docs", sink, threshold=0.5)
+    assert r2["run_id"] and r2["n_pairs"] >= 1  # cross-tick pair (1,4)/(2,4)
+
+    got = {(r["a"], r["b"]) for r in dedup_agent.all_pairs(spark, sink).collect()}
+    corpus = spark.createDataFrame(b1 + b2, ddl)
+    whole = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard(
+            corpus,
+            threshold=0.5,
+            candidates=dedup.lsh_candidates(dedup.minhash_signatures(corpus)),
+        ).collect()
+    }
+    assert got == whole and whole
+    assert any(a in (1, 2) and b == 4 for a, b in got)  # crosses the tick boundary
+
+    # crash replay: drop run 2 from the MANIFEST (store still has it),
+    # re-tick -> same rid recomputed via the replay path, same pair set
+    from logspark.sources import manifest as mf
+
+    m = mf.load_manifest(sink)
+    dropped = [r for r in m.runs if r.run_id != r2["run_id"]]
+    mf.save_manifest(sink, mf.Manifest(runs=dropped))
+    r2_replay = dedup_agent.dedup_tick(spark, io, "docs", sink, threshold=0.5)
+    assert r2_replay["run_id"] == r2["run_id"]
+    assert r2_replay["n_pairs"] == r2["n_pairs"]
+    got_again = {(r["a"], r["b"]) for r in dedup_agent.all_pairs(spark, sink).collect()}
+    assert got_again == whole
