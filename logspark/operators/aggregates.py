@@ -62,3 +62,49 @@ def sessionize(
             F.max(ts_col).alias("session_end"),
         )
     )
+
+
+def approx_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Scale-true distinct counting: HyperLogLog++ via
+    `approx_count_distinct` — one narrow pass with map-side partial
+    sketches, merged per group key. The exact `countDistinct` form (gated
+    as `distinct_users`) shuffles EVERY (group, id) pair, which at 10^12
+    turns is a shuffle the size of the fact table; the sketch form moves
+    a fixed ~1.5/rsd² bytes per (partition, group). Exactness is the
+    oracle's job; this is what production runs. Emits `n_approx`.
+
+    Sketches are engine-specific (Spark's HLL++ ≠ DuckDB's), so this is
+    pytest-gated on a relative-error bound against the exact count rather
+    than hash-compared."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias("n_approx")
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probabilities: list[float] = (0.5, 0.95, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Latency-percentile style aggregate: `percentile_approx` (the
+    Greenwald-Khanna sketch) per group — the p50/p95/p99 panel every
+    telemetry pipeline ends in. One pass, map-side partial sketches of
+    bounded size (`accuracy` trades memory for error: rank error ≤
+    1/accuracy), merged per group; the exact percentile would need a
+    per-group sort of all values. Emits one `q_<pct>` column per
+    requested probability."""
+    probs = list(probabilities)
+    qs = F.percentile_approx(
+        F.col(value_col), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+    )
+    out = df.groupBy(*group_cols).agg(qs.alias("_qs"))
+    for i, p in enumerate(probs):
+        out = out.withColumn(f"q_{str(p).replace('.', '_')}", F.col("_qs")[i])
+    return out.drop("_qs")

@@ -771,3 +771,46 @@ def test_dropped_buckets_report(spark):
     capped = dedup.cap_buckets(banded, 10)
     assert capped.filter(F.col("doc_id") < 1000).count() == 0
     assert capped.filter(F.col("doc_id") >= 1000).count() > 0
+
+
+def test_approx_distinct_within_rsd(spark):
+    """HLL++ distinct counts land within a few rsd of exact on the events
+    table, per group — the scale-true form of the gated distinct_users."""
+    from logspark.operators import aggregates
+
+    ev = spark.read.parquet(f"{SF_DIR}/../sf0.01/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["n_approx"]
+        for r in aggregates.approx_distinct(ev, ["event_type"], "user_id", rsd=0.02).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.1 * n), (k, approx[k], n)
+
+
+def test_approx_quantiles_bracket_exact(spark):
+    """percentile_approx at accuracy=10k on the events value column: each
+    approximate quantile must land within a tight rank window of the
+    exact percentile."""
+    from logspark.operators import aggregates
+
+    ev = spark.read.parquet(f"{SF_DIR}/../sf0.01/events.parquet")
+    got = aggregates.approx_quantiles(
+        ev, ["event_type"], "value", probabilities=[0.5, 0.95]
+    ).collect()
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for r in got:
+        xs = sorted(vals[r["event_type"]])
+        for p, col in ((0.5, "q_0_5"), (0.95, "q_0_95")):
+            # rank window: ±(1/accuracy + slack) of n around the target rank
+            lo = xs[max(0, int((p - 0.01) * len(xs)) - 1)]
+            hi = xs[min(len(xs) - 1, int((p + 0.01) * len(xs)))]
+            assert lo <= r[col] <= hi, (r["event_type"], p, r[col], lo, hi)
