@@ -20,7 +20,10 @@ import uuid
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="logspark")
-    ap.add_argument("--config", required=True, help="3-section pipeline config (json/yaml)")
+    ap.add_argument(
+        "--config", default=None,
+        help="3-section pipeline config (json/yaml); required except with --dedup-table",
+    )
     ap.add_argument("--input-dir", required=True, help="directory of input tables")
     ap.add_argument("--sink-root", required=True, help="output root (sinks + manifest)")
     ap.add_argument("--run-id", default=None)
@@ -32,6 +35,13 @@ def main(argv: list[str] | None = None) -> int:
         help="continuous batch-agent mode: poll for new input every N seconds, "
         "re-loading the config each tick (hot reload)",
     )
+    ap.add_argument(
+        "--dedup-table", default=None, metavar="TABLE",
+        help="run one continuous-ingestion dedup tick over TABLE "
+        "(manifest-pending files vs the sink_root's SignatureStore) "
+        "instead of the parse-route pipeline",
+    )
+    ap.add_argument("--dedup-threshold", type=float, default=0.5)
     args = ap.parse_args(argv)
 
     from logspark.config import PipelineConfig
@@ -42,6 +52,22 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(master=args.master, app_name="logspark-agent")
     ensure_workers(spark)
+
+    if args.dedup_table is not None:
+        from logspark.plans.dedup_agent import dedup_tick
+
+        res = dedup_tick(
+            spark,
+            ParquetIO(args.input_dir),
+            args.dedup_table,
+            args.sink_root,
+            threshold=args.dedup_threshold,
+        )
+        print(json.dumps({"mode": "dedup", **res}))
+        return 0
+
+    if args.config is None:
+        ap.error("--config is required (except with --dedup-table)")
     cfg = PipelineConfig.load(args.config)
     dims = {
         "tool_catalog": spark.createDataFrame(tool_catalog_pdf()),
