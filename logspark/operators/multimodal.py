@@ -141,6 +141,74 @@ def resize_images(df: DataFrame, target_w: int, target_h: int, fake: bool = True
     return df.mapInPandas(gen, schema=RESIZED_SCHEMA_DDL)
 
 
+FRAME_SCHEMA_DDL = (
+    "media_id bigint, media_type string, frame_idx int, frame binary, n_frame_bytes int"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_stride: int = 1000,
+    max_frames: int | None = None,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling: EXPLODE each audio/video row into one output row per
+    sampled frame — (media_id, frame_idx, frame bytes) — the shape a
+    frame-level training pipeline (caption-per-frame, audio windows)
+    consumes downstream. Image rows yield their single frame; `max_frames`
+    caps per-media fan-out (uniformly strided over the available frames,
+    first frame always included) so one 10-hour video cannot explode a
+    task's output.
+
+    Same mapInPandas batch contract as extract_features: Arrow-batched
+    columnar, fan-out happens INSIDE the batch generator, so output rows
+    per input batch can exceed the input row count without any Spark-side
+    explode. Real path: av/ffmpeg keyframe extraction
+    (NotImplementedError here — no codec libs in this container); fake
+    path slices the raw byte signal every `frame_stride` bytes, making
+    count/order/slicing deterministic and testable."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, idxs, frames, sizes = [], [], [], [], []
+            for mid, content, mtype in zip(
+                pdf["media_id"], pdf["content"], pdf["media_type"]
+            ):
+                raw = bytes(content)
+                if not fake:
+                    _decode_real(raw, str(mtype))
+                if str(mtype).startswith("image/"):
+                    chunks = [raw]
+                else:
+                    chunks = [
+                        raw[i : i + frame_stride]
+                        for i in range(0, max(len(raw), 1), frame_stride)
+                    ]
+                if max_frames is not None and len(chunks) > max_frames:
+                    pick = [
+                        chunks[i * len(chunks) // max_frames]
+                        for i in range(max_frames)
+                    ]
+                    chunks = pick
+                for i, ch in enumerate(chunks):
+                    ids.append(mid)
+                    types.append(mtype)
+                    idxs.append(i)
+                    frames.append(ch)
+                    sizes.append(len(ch))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "n_frame_bytes": pd.Series(sizes, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(gen, schema=FRAME_SCHEMA_DDL)
+
+
 def media_from_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic media table derived from an existing TEXT table: the
     UTF-8 bytes of `text` become the binary `content`. This gives the binary

@@ -814,3 +814,38 @@ def test_approx_quantiles_bracket_exact(spark):
             lo = xs[max(0, int((p - 0.01) * len(xs)) - 1)]
             hi = xs[min(len(xs) - 1, int((p + 0.01) * len(xs)))]
             assert lo <= r[col] <= hi, (r["event_type"], p, r[col], lo, hi)
+
+
+def test_sample_frames_explodes_and_caps(spark):
+    """Frame sampling: non-image media explodes into stride-sized byte
+    slices that reassemble to the original content; images yield one
+    frame; max_frames caps fan-out with the first frame kept; the real
+    decode path names its missing dependency."""
+    media = multimodal.synth_media_df(spark, 24)
+    frames = multimodal.sample_frames(media, frame_stride=100).collect()
+    raw = {r["media_id"]: (bytes(r["content"]), r["media_type"]) for r in media.collect()}
+    by_media: dict = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(raw)
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r["frame_idx"])
+        content, mtype = raw[mid]
+        assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
+        if mtype.startswith("image/"):
+            assert len(rows) == 1 and bytes(rows[0]["frame"]) == content
+        else:
+            assert b"".join(bytes(r["frame"]) for r in rows) == content
+            assert all(r["n_frame_bytes"] <= 100 for r in rows)
+    # cap: at most 3 frames per media, first frame always present
+    capped = multimodal.sample_frames(media, frame_stride=50, max_frames=3).collect()
+    per: dict = {}
+    for r in capped:
+        per.setdefault(r["media_id"], []).append(r)
+    for mid, rows in per.items():
+        assert len(rows) <= 3
+        first = min(rows, key=lambda r: r["frame_idx"])
+        assert bytes(first["frame"]) == raw[mid][0][:50] or raw[mid][1].startswith("image/")
+    # real path is honestly stubbed
+    with pytest.raises(Exception, match="Pillow|av/ffmpeg"):
+        multimodal.sample_frames(media, fake=False).collect()
