@@ -56,6 +56,86 @@ def cosine_topk(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for a SET of query ids in one pass —
+    the eval-set / probe-batch workload (`cosine_topk` per query would
+    scan the corpus |Q| times). Returns (query_id, vec_id, sim), k rows
+    per query, ties broken (sim desc, vec_id asc).
+
+    Scale shape — two-phase top-k:
+      1. the |Q| query vectors (driver-collected: an eval set is KB-MB)
+         ship in a mapInPandas closure; each partition computes ALL
+         query cosines in ONE BLAS matmul per Arrow batch and emits only
+         its LOCAL top-k per query — zero shuffle, output is
+         O(partitions x |Q| x k) rows regardless of corpus size;
+      2. a final per-query window over those partials — tiny.
+    The naive groupBy(query).collect_list alternative is NOT scale-true:
+    collect_list's map-side 'partial' still ships every corpus row.
+
+    Exactness: the local top-k keeps >= the global top-k candidates per
+    query (a global top-k member is in its partition's local top-k), so
+    phase 2 sees every true member. Sims are BLAS-accumulated then
+    rounded to 6dp like cosine_topk (equal to the left fold within ulp)."""
+    q_rows = (
+        df.filter(F.col(id_col).isin(list(query_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError(f"cosine_topk_batch: none of {query_ids!r} found in corpus")
+    import numpy as np
+
+    qids = [r[id_col] for r in q_rows]
+    Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            S = Vn @ Qn.T  # (n, |Q|)
+            out_q, out_id, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                sims = S[:, j].copy()
+                sims[ids == qid] = -np.inf  # exclude self
+                kk = min(k, len(sims))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                for i in top:
+                    if np.isfinite(sims[i]):
+                        out_q.append(qid)
+                        out_id.append(ids[i])
+                        out_s.append(round(float(sims[i]), 6))
+            yield pd.DataFrame(
+                {"query_id": pd.Series(out_q, dtype="int64"),
+                 id_col: pd.Series(out_id, dtype="int64"),
+                 "sim": pd.Series(out_s, dtype="float64")}
+            )
+
+    from pyspark.sql.window import Window
+
+    partials = df.select(id_col, vec_col).mapInPandas(
+        gen, f"query_id bigint, {id_col} bigint, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        partials.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def signbit_bucket(
     df: DataFrame,
     anchors: DataFrame,

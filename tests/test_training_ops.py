@@ -849,3 +849,27 @@ def test_sample_frames_explodes_and_caps(spark):
     # real path is honestly stubbed
     with pytest.raises(Exception, match="Pillow|av/ffmpeg"):
         multimodal.sample_frames(media, fake=False).collect()
+
+
+def test_cosine_topk_batch_equals_per_query(spark, emb):
+    """Batch multi-query top-k == per-query cosine_topk for every query:
+    same neighbor ids in the same order, sims within rounding ulp; missing
+    query ids fail loudly."""
+    qids = [0, 7, 42]
+    batch = similarity.cosine_topk_batch(emb, qids, k=8)
+    per_q: dict = {}
+    for r in batch.collect():
+        per_q.setdefault(r["query_id"], []).append((r["vec_id"], r["sim"]))
+    assert set(per_q) == set(qids)
+    for qid in qids:
+        got = per_q[qid]  # window already ordered (sim desc, id asc)
+        got.sort(key=lambda t: (-t[1], t[0]))
+        exact = [
+            (r["vec_id"], r["sim"])
+            for r in similarity.cosine_topk(emb, qid, k=8).collect()
+        ]
+        assert [g[0] for g in got] == [e[0] for e in exact], qid
+        for (gid, gs), (eid, es) in zip(got, exact):
+            assert gs == pytest.approx(es, abs=2e-6)
+    with pytest.raises(ValueError, match="none of"):
+        similarity.cosine_topk_batch(emb, [10**9], k=3)
