@@ -108,3 +108,47 @@ def approx_quantiles(
     for i, p in enumerate(probs):
         out = out.withColumn(f"q_{str(p).replace('.', '_')}", F.col("_qs")[i])
     return out.drop("_qs")
+
+
+def conversation_examples(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    target_role: str = "assistant",
+    max_context_turns: int = 8,
+) -> DataFrame:
+    """Transcripts → supervised training examples: for every `target_role`
+    turn, (conv_id, turn_idx, context, target) where context is the last
+    `max_context_turns` PRIOR turns rendered as 'role: text' lines — the
+    step that turns a conversation table into SFT rows.
+
+    Shape: one window keyed by conversation (collect_list over the
+    preceding frame, sliced to the last k turns). Conversations are
+    individually small (bounded turns), so unlike a per-source window
+    this is millions of small partitions — exactly what Spark windows
+    are good at — and a conv_id-bucketed layout (sources.write_bucketed)
+    makes the shuffle free. Turns with no prior context are dropped (no
+    empty-context examples)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(turn_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    line = F.concat_ws(": ", F.col(role_col), F.col(text_col))
+    prior = F.collect_list(F.struct(F.col(turn_col).alias("t"), line.alias("l"))).over(w)
+    k = max_context_turns
+    last_k = F.when(F.size(prior) > k, F.slice(prior, -k, k)).otherwise(prior)
+    return (
+        df.withColumn("_ctx", last_k)
+        .filter((F.col(role_col) == target_role) & (F.size("_ctx") > 0))
+        .select(
+            conv_col,
+            turn_col,
+            F.concat_ws("\n", F.transform(F.col("_ctx"), lambda s: s["l"])).alias("context"),
+            F.col(text_col).alias("target"),
+        )
+    )

@@ -162,6 +162,88 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Sequence packing, concatenate-and-cut style: the whole corpus is one
+    token stream in `id_col` order, cut every `seq_tokens` tokens — how
+    LM training batches are actually packed (documents straddle sequence
+    boundaries; no padding waste). Output: one row per (doc, sequence)
+    overlap — (seq_idx, id, doc_tok_start, n_toks): the doc contributes
+    its tokens [doc_tok_start, doc_tok_start + n_toks) to sequence
+    seq_idx. Every sequence except the last holds exactly `seq_tokens`
+    tokens (invariant pytest-pinned).
+
+    Packing is closed-form over the global token prefix sum (a doc
+    starting at offset s with n tokens spans sequences s//L ..
+    (s+n-1)//L), so the scale shape is the SAME two-phase distributed
+    prefix sum as mixture_sample: range buckets → per-bucket partial
+    sums → broadcast exclusive offsets → local running sum — no single
+    task ever owns the whole stream — then a narrow explode over each
+    doc's (first_seq..last_seq) range. Docs shorter than a sequence
+    explode to exactly one row; a book-length doc spans many."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    if seq_tokens <= 0:
+        raise ValueError(f"pack_sequences: seq_tokens must be positive, got {seq_tokens}")
+    if num_buckets is not None and num_buckets <= 0:
+        raise ValueError(f"pack_sequences: num_buckets must be positive, got {num_buckets}")
+    P = (
+        num_buckets
+        if num_buckets is not None
+        else int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    base = (
+        df.select(F.col(id_col), n_tok.alias("n_toks"))
+        .filter(F.col("n_toks") > 0)
+        .repartitionByRange(P, F.col(id_col))
+        .withColumn("_bkt", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    partials = base.groupBy("_bkt").agg(F.sum("n_toks").alias("part_sum")).collect()
+    offsets, run = [], 0
+    for r in sorted(partials, key=lambda r: r["_bkt"]):
+        offsets.append((r["_bkt"], run))
+        run += r["part_sum"]
+    off_df = spark.createDataFrame(offsets, "_bkt int, _off long")
+    w = Window.partitionBy("_bkt").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    L = F.lit(seq_tokens).cast("long")
+    end = F.sum("n_toks").over(w) + F.col("_off")  # exclusive end offset
+    start = end - F.col("n_toks")
+    return (
+        base.join(F.broadcast(off_df), "_bkt")
+        .withColumn("_start", start)
+        .withColumn("_first", (F.col("_start") / L).cast("long"))
+        .withColumn("_last", ((F.col("_start") + F.col("n_toks") - 1) / L).cast("long"))
+        .select(
+            id_col,
+            "n_toks",
+            "_start",
+            F.explode(F.sequence(F.col("_first"), F.col("_last"))).alias("seq_idx"),
+        )
+        .select(
+            "seq_idx",
+            id_col,
+            # this doc's slice that lands in this sequence
+            F.greatest(F.col("seq_idx") * L - F.col("_start"), F.lit(0).cast("long")).alias(
+                "doc_tok_start"
+            ),
+            (
+                F.least((F.col("seq_idx") + 1) * L, F.col("_start") + F.col("n_toks"))
+                - F.greatest(F.col("seq_idx") * L, F.col("_start"))
+            ).alias("n_toks_in_seq"),
+        )
+    )
+
+
 def mixture_sample_ratios(
     df: DataFrame,
     total_tokens: int,

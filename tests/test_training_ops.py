@@ -873,3 +873,87 @@ def test_cosine_topk_batch_equals_per_query(spark, emb):
             assert gs == pytest.approx(es, abs=2e-6)
     with pytest.raises(ValueError, match="none of"):
         similarity.cosine_topk_batch(emb, [10**9], k=3)
+
+
+def test_pack_sequences_invariants(spark):
+    """Concatenate-and-cut packing: every sequence except the last holds
+    exactly seq_tokens tokens; each doc's slices are contiguous, start at
+    0, and sum to its token count; straddling docs span adjacent
+    sequences; the result equals a straightforward driver-side packing
+    of the same ordered stream."""
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 17, 3, 64, 1, 30, 9, 128, 2, 40])]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    L = 32
+    out = textops.pack_sequences(docs, seq_tokens=L, num_buckets=3).collect()
+    per_seq: dict = {}
+    per_doc: dict = {}
+    for r in out:
+        per_seq[r["seq_idx"]] = per_seq.get(r["seq_idx"], 0) + r["n_toks_in_seq"]
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    total = sum(n for _, n in [(i, len(t.split())) for i, t in rows])
+    assert sum(per_seq.values()) == total
+    last = max(per_seq)
+    assert set(per_seq) == set(range(last + 1))  # contiguous sequence ids
+    for s, n in per_seq.items():
+        assert n == L if s < last else 0 < n <= L, (s, n)
+    n_by_doc = {i: len(t.split()) for i, t in rows}
+    for d, slices in per_doc.items():
+        slices.sort(key=lambda r: r["seq_idx"])
+        assert [r["seq_idx"] for r in slices] == list(
+            range(slices[0]["seq_idx"], slices[-1]["seq_idx"] + 1)
+        )
+        assert slices[0]["doc_tok_start"] == 0
+        assert sum(r["n_toks_in_seq"] for r in slices) == n_by_doc[d]
+        # slice starts chain: next start = prev start + prev length
+        acc = 0
+        for r in slices:
+            assert r["doc_tok_start"] == acc
+            acc += r["n_toks_in_seq"]
+    # driver-side reference packing agrees on every (seq, doc) cell
+    ref: dict = {}
+    off = 0
+    for i, t in rows:
+        n = len(t.split())
+        for s in range(off // L, (off + n - 1) // L + 1):
+            ref[(s, i)] = min((s + 1) * L, off + n) - max(s * L, off)
+        off += n
+    got = {(r["seq_idx"], r["doc_id"]): r["n_toks_in_seq"] for r in out}
+    assert got == ref
+    with pytest.raises(ValueError, match="seq_tokens"):
+        textops.pack_sequences(docs, seq_tokens=0)
+
+
+def test_conversation_examples_assembly(spark):
+    """SFT example assembly: one example per assistant turn with prior
+    context, context = last k prior turns as 'role: text' lines in turn
+    order, no empty-context examples, conversations independent."""
+    rows = [
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "hello"),
+        ("c1", 2, "user", "how are you"),
+        ("c1", 3, "tool", "lookup ok"),
+        ("c1", 4, "assistant", "fine thanks"),
+        ("c2", 0, "assistant", "orphan greeting"),   # no prior context -> dropped
+        ("c2", 1, "user", "q"),
+        ("c2", 2, "assistant", "a"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    from logspark.operators.aggregates import conversation_examples
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in conversation_examples(df, max_context_turns=2).collect()
+    }
+    assert set(got) == {("c1", 1), ("c1", 4), ("c2", 2)}
+    assert got[("c1", 1)]["context"] == "user: hi"
+    assert got[("c1", 1)]["target"] == "hello"
+    # last-2 window: turns 2,3 only (turn 1 aged out)
+    assert got[("c1", 4)]["context"] == "user: how are you\ntool: lookup ok"
+    # prior turns of ANY role are context, including earlier assistant turns
+    assert got[("c2", 2)]["context"] == "assistant: orphan greeting\nuser: q"
+    # wider window keeps everything
+    full = {
+        (r["conv_id"], r["turn_idx"]): r["context"]
+        for r in conversation_examples(df, max_context_turns=10).collect()
+    }
+    assert full[("c1", 4)] == "user: hi\nassistant: hello\nuser: how are you\ntool: lookup ok"
