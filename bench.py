@@ -50,7 +50,8 @@ HEADLINE = [
     "token_stats",
     "quality_scores",
     "embed_cosine_topk",
-    "embed_ann_lsh",
+    "pack_sequences",
+    "conversation_examples",
     "embed_ivf_topk",
     "embed_near_dups",
     "dedup_clusters",

@@ -788,6 +788,55 @@ vp AS (
 WHERE vec_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)"""
 )
 
+# concatenate-and-cut sequence packing at L=128: closed form over the
+# global token prefix sum; generate_series explodes each doc over its
+# spanned sequences — mirrors textops.pack_sequences exactly
+PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+), c AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS s
+  FROM t
+), e AS (
+  SELECT doc_id, n, s,
+         unnest(generate_series(s // 128, (s + n - 1) // 128)) AS seq_idx
+  FROM c
+)
+SELECT CAST(seq_idx AS BIGINT) AS seq_idx, doc_id,
+       CAST(GREATEST(seq_idx * 128 - s, 0) AS BIGINT) AS doc_tok_start,
+       CAST(LEAST((seq_idx + 1) * 128, s + n) - GREATEST(seq_idx * 128, s) AS BIGINT)
+         AS n_toks_in_seq
+FROM e
+"""
+
+# transcripts -> SFT (context, target) rows: per assistant turn, context =
+# last 3 prior turns as 'role: text' lines (window list + tail slice)
+CONVERSATION_EXAMPLES = """
+WITH t AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CASE WHEN event_type IN ('click', 'view') THEN 'user'
+              WHEN event_type IN ('signup', 'purchase') THEN 'assistant'
+              ELSE 'tool' END AS role,
+         CASE WHEN value >= 400 THEN 'note ' || props ELSE props END AS text
+  FROM events
+), w AS (
+  SELECT conv_id, turn_idx, role, text,
+         list(role || ': ' || text) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ctx
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       array_to_string(list_slice(ctx, GREATEST(len(ctx) - 2, 1), len(ctx)), chr(10)) AS context,
+       text AS target
+FROM w
+WHERE role = 'assistant' AND len(ctx) > 0
+"""
+
 # A3 rollup surface: subtotals + grand total via grouping sets — Spark's
 # rollup() and DuckDB's GROUP BY ROLLUP produce identical (null-marked) rows
 SINK_COUNTS_ROLLUP = """
@@ -869,7 +918,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT,
     "minhash_signatures": MINHASH_SIGNATURES,
     "lsh_candidates": LSH_CANDIDATES,
-    "ngram_jaccard": NGRAM_JACCARD,
+    "pack_sequences": PACK_SEQUENCES,
     "ngram_jaccard_verified": NGRAM_JACCARD_VERIFIED,
     "dedup_clusters": DEDUP_CLUSTERS,
     "dedup_apply": DEDUP_APPLY,
@@ -880,7 +929,7 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": WINNOW_FINGERPRINTS,
     "winnow_candidates": WINNOW_CANDIDATES,
     "embed_cosine_topk": EMBED_COSINE_TOPK,
-    "embed_ann_lsh": EMBED_ANN_LSH,
+    "conversation_examples": CONVERSATION_EXAMPLES,
     "embed_ivf_topk": EMBED_IVF_TOPK,
     "embed_near_dups": EMBED_NEAR_DUPS,
     "embed_dedup_apply": EMBED_DEDUP_APPLY,

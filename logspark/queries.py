@@ -414,12 +414,24 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return un.unionByName(cap)
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard over ALL shared-shingle pairs — quadratic in bucket
-    size; small-corpus/exactness utility only. The scale path is
-    q_ngram_jaccard_verified (LSH candidates → verify)."""
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-cut sequence packing at L=128 over the documents
+    stream (r4; replaced the all-pairs `ngram_jaccard` entry in the
+    capped 50-entry sweep — that form was small-corpus-only by its own
+    docstring, and the scale path `ngram_jaccard_verified` remains
+    gated). Hash-checks every (seq, doc) overlap cell."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard(docs, threshold=0.5)
+    return textops.pack_sequences(docs, seq_tokens=128)
+
+
+def q_conversation_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts → SFT (context, target) rows (r4; replaced the
+    demoted `embed_ann_lsh` entry — sign-LSH top-k stays value-checked
+    inside ann_recall's lsh row). Context = last 3 prior turns."""
+    from logspark.operators.aggregates import conversation_examples
+
+    t = transcripts_from_events(spark, sf_dir)
+    return conversation_examples(t, target_role="assistant", max_context_turns=3)
 
 
 def q_ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,11 +538,6 @@ def q_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, query_id=0, k=10)
-
-
-def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ann_topk(emb, query_id=0, n_anchors=6, k=10)
 
 
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,7 +679,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
-    "ngram_jaccard": q_ngram_jaccard,
+    "pack_sequences": q_pack_sequences,
     "ngram_jaccard_verified": q_ngram_jaccard_verified,
     "dedup_clusters": q_dedup_clusters,
     "dedup_apply": q_dedup_apply,
@@ -683,7 +690,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_candidates": q_winnow_candidates,
     "embed_cosine_topk": q_embed_cosine_topk,
-    "embed_ann_lsh": q_embed_ann_lsh,
+    "conversation_examples": q_conversation_examples,
     "embed_ivf_topk": q_embed_ivf_topk,
     "embed_near_dups": q_embed_near_dups,
     "embed_dedup_apply": q_embed_dedup_apply,
