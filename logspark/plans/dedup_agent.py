@@ -78,6 +78,31 @@ def dedup_tick(
         return {"run_id": rid, "new_files": pending, "n_pairs": n_pairs}
 
 
+def watch_dedup(
+    spark: SparkSession,
+    io: ParquetIO,
+    table: str,
+    sink_root: str,
+    interval_s: float = 30.0,
+    max_iterations: int | None = None,
+    **tick_kwargs,
+) -> list[dict]:
+    """Continuous agent loop around `dedup_tick` — the dedup analogue of
+    plans.pipeline.watch: poll for new input files every `interval_s`,
+    ingest + pair + commit per tick. `max_iterations` bounds the loop for
+    tests; None tails forever like the reference agent."""
+    import time
+
+    results: list[dict] = []
+    i = 0
+    while max_iterations is None or i < max_iterations:
+        results.append(dedup_tick(spark, io, table, sink_root, **tick_kwargs))
+        i += 1
+        if max_iterations is None or i < max_iterations:
+            time.sleep(interval_s)
+    return results
+
+
 def all_pairs(spark: SparkSession, sink_root: str) -> DataFrame:
     """The union of every committed tick's verified pairs — by the
     incremental guarantee, equal to the one-shot whole-corpus pair set."""

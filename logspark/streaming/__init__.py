@@ -9,6 +9,7 @@ filter-chain / enrich / router functions applied per micro-batch via
 from logspark.streaming.foreach import make_batch_processor, stream_pipeline
 from logspark.streaming.sources import lines_to_transcripts, stream_source
 from logspark.streaming.stateful import (
+    streaming_embedding_near_dups,
     streaming_exact_dedup,
     streaming_near_dup_candidates,
     streaming_sessionize,
@@ -19,6 +20,7 @@ __all__ = [
     "make_batch_processor",
     "stream_pipeline",
     "stream_source",
+    "streaming_embedding_near_dups",
     "streaming_exact_dedup",
     "streaming_near_dup_candidates",
     "streaming_sessionize",

@@ -489,3 +489,24 @@ def test_dedup_agent_ticks_equal_whole_corpus(spark, tmp_path):
     assert r2_replay["n_pairs"] == r2["n_pairs"]
     got_again = {(r["a"], r["b"]) for r in dedup_agent.all_pairs(spark, sink).collect()}
     assert got_again == whole
+
+
+def test_watch_dedup_loop(spark, tmp_path):
+    """watch_dedup polls and ticks: first iteration ingests the pending
+    file, second is a no-op (nothing new)."""
+    import pandas as pd
+
+    from logspark.plans import dedup_agent
+    from logspark.sources.tableio import ParquetIO
+
+    tbl = tmp_path / "in" / "docs.parquet"
+    tbl.mkdir(parents=True)
+    pd.DataFrame(
+        [(1, "some words here"), (2, "other words there")], columns=["doc_id", "text"]
+    ).to_parquet(tbl / "f1.parquet")
+    res = dedup_agent.watch_dedup(
+        spark, ParquetIO(str(tmp_path / "in")), "docs", str(tmp_path / "agent"),
+        interval_s=0.01, max_iterations=2,
+    )
+    assert len(res) == 2
+    assert res[0]["run_id"] is not None and res[1]["run_id"] is None

@@ -540,3 +540,59 @@ def test_streaming_near_dup_cap_poisons_degenerate_bucket(spark, tmp_path):
     # a later small batch into the poisoned buckets still emits nothing
     got2 = run_phase([(9, boiler)], "f2")
     assert got2 == set()
+
+
+def test_streaming_embedding_near_dups_equals_batch(spark, tmp_path):
+    """Streaming IVF near-dups (the batch default's streaming form): two
+    micro-batch phases through a RESTART, fixed centroids; the distinct
+    streamed (a, b, sim) set must equal batch ivf_near_dups with the same
+    centroids, and a cross-batch pair must be present."""
+    import time
+
+    import numpy as np
+
+    from logspark.operators import similarity
+    from logspark.streaming import streaming_embedding_near_dups
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    def nd(eps, seed):  # near-dup of `base`
+        return (base + eps * np.random.default_rng(seed).standard_normal(16)).tolist()
+    b1 = [(1, base.tolist()), (2, nd(0.05, 1)), (3, rng.standard_normal(16).tolist()),
+          (4, rng.standard_normal(16).tolist())]
+    b2 = [(5, nd(0.05, 2)), (6, rng.standard_normal(16).tolist())]
+    ddl = "vec_id bigint, embedding array<double>"
+    corpus = spark.createDataFrame(b1 + b2, ddl)
+    cents = similarity.head_centroids(corpus, 3)
+    in_dir = tmp_path / "in"; in_dir.mkdir()
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_phase(rows, fname):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode("overwrite").parquet(
+            str(in_dir / fname)
+        )
+        stream = spark.readStream.schema(ddl).parquet(str(in_dir / "*"))
+        q = (
+            streaming_embedding_near_dups(stream, cents, threshold=0.9, nprobe=2)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        time.sleep(0.5)
+        return {(r["a"], r["b"], r["sim"]) for r in spark.read.parquet(out_dir).collect()}
+
+    got1 = run_phase(b1, "f1")
+    got2 = run_phase(b2, "f2")  # restart on the same checkpoint
+    assert got1 <= got2
+    batch = {
+        (r["a"], r["b"], r["sim"])
+        for r in similarity.ivf_near_dups(
+            corpus, threshold=0.9, nprobe=2, centroids=cents
+        ).collect()
+    }
+    assert got2 == batch and batch  # non-vacuous
+    assert any(a in (1, 2) and b == 5 for a, b, _ in got2)  # crosses the restart
