@@ -118,11 +118,21 @@ def conversation_examples(
     text_col: str = "text",
     target_role: str = "assistant",
     max_context_turns: int = 8,
+    max_context_tokens: int | None = None,
 ) -> DataFrame:
     """Transcripts → supervised training examples: for every `target_role`
     turn, (conv_id, turn_idx, context, target) where context is the last
     `max_context_turns` PRIOR turns rendered as 'role: text' lines — the
     step that turns a conversation table into SFT rows.
+
+    `max_context_tokens` additionally enforces a TOKEN budget (whitespace
+    tokens over the rendered lines): whole turns are dropped from the
+    OLDEST side until the kept contiguous suffix fits — a turn is never
+    split, and a lone over-budget newest turn drops the example (empty
+    context). Implemented as one native aggregate fold over the reversed
+    context (accumulator = (tokens_used, turns_kept, stopped)): once a
+    turn does not fit, the fold stops taking — the kept set is a true
+    suffix, not a best-fit subset.
 
     Shape: one window keyed by conversation (collect_list over the
     preceding frame, sliced to the last k turns). Conversations are
@@ -142,6 +152,28 @@ def conversation_examples(
     prior = F.collect_list(F.struct(F.col(turn_col).alias("t"), line.alias("l"))).over(w)
     k = max_context_turns
     last_k = F.when(F.size(prior) > k, F.slice(prior, -k, k)).otherwise(prior)
+    if max_context_tokens is not None:
+        budget = F.lit(max_context_tokens).cast("long")
+
+        def _take(acc, el):
+            t = F.size(F.split(el["l"], " ")).cast("long")
+            fits = (~acc["stopped"]) & (acc["toks"] + t <= budget)
+            return F.struct(
+                F.when(fits, acc["toks"] + t).otherwise(acc["toks"]).alias("toks"),
+                F.when(fits, acc["keep"] + 1).otherwise(acc["keep"]).alias("keep"),
+                (~fits).alias("stopped"),
+            )
+
+        init = F.struct(
+            F.lit(0).cast("long").alias("toks"),
+            F.lit(0).alias("keep"),
+            F.lit(False).alias("stopped"),
+        )
+        n_keep = F.aggregate(F.reverse(last_k), init, _take)["keep"]
+        # slice(x, 1, 0) is the typed empty array (n_keep can be 0)
+        last_k = F.when(n_keep > 0, F.slice(last_k, -n_keep, n_keep)).otherwise(
+            F.slice(last_k, 1, 0)
+        )
     return (
         df.withColumn("_ctx", last_k)
         .filter((F.col(role_col) == target_role) & (F.size("_ctx") > 0))

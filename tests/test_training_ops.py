@@ -957,3 +957,48 @@ def test_conversation_examples_assembly(spark):
         for r in conversation_examples(df, max_context_turns=10).collect()
     }
     assert full[("c1", 4)] == "user: hi\nassistant: hello\nuser: how are you\ntool: lookup ok"
+
+
+def test_conversation_examples_token_budget(spark):
+    """max_context_tokens drops whole turns from the OLDEST side until the
+    contiguous suffix fits; a lone over-budget newest turn empties the
+    context (example dropped); no turn is ever split."""
+    rows = [
+        ("c1", 0, "user", "one two three four five"),        # 5+1 rendered tokens
+        ("c1", 1, "tool", "a b"),                            # 2+1
+        ("c1", 2, "user", "x"),                              # 1+1
+        ("c1", 3, "assistant", "answer"),
+        ("c2", 0, "user", " ".join(["w"] * 50)),             # huge single turn
+        ("c2", 1, "assistant", "a"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    from logspark.operators.aggregates import conversation_examples
+
+    # budget 6: keeps turns 1 (3 toks: 'tool: a b') + 2 (2 toks: 'user: x'),
+    # turn 0 (6 toks) does not fit on top
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["context"]
+        for r in conversation_examples(
+            df, max_context_turns=8, max_context_tokens=6
+        ).collect()
+    }
+    assert got[("c1", 3)] == "tool: a b\nuser: x"
+    assert ("c2", 1) not in got  # 51-token turn over budget -> empty ctx -> dropped
+    # generous budget keeps everything
+    full = {
+        (r["conv_id"], r["turn_idx"]): r["context"]
+        for r in conversation_examples(
+            df, max_context_turns=8, max_context_tokens=1000
+        ).collect()
+    }
+    assert full[("c1", 3)] == "user: one two three four five\ntool: a b\nuser: x"
+    assert full[("c2", 1)].startswith("user: w w")
+    # suffix property: once a turn is dropped, everything older is too —
+    # budget 9 fits turns 1+2 (5) but NOT 0 (6 more): still just 1+2
+    mid = {
+        (r["conv_id"], r["turn_idx"]): r["context"]
+        for r in conversation_examples(
+            df, max_context_turns=8, max_context_tokens=9
+        ).collect()
+    }
+    assert mid[("c1", 3)] == "tool: a b\nuser: x"
