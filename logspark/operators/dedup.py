@@ -699,31 +699,70 @@ class SignatureStore:
 
         return os.path.join(self.root, "index.json")
 
-    def committed_runs(self) -> list[str]:
+    def _read_index(self) -> dict:
         import json
         import os
 
         p = self._index_path()
         if not os.path.exists(p):
-            return []
+            return {"runs": [], "files": {}}
         with open(p) as f:
-            return json.load(f).get("runs", [])
+            idx = json.load(f)
+        idx.setdefault("files", {})
+        return idx
 
-    def append(self, sigs: DataFrame, run_id: str) -> None:
-        """Write-then-commit: parquet first, index rename second."""
+    def _write_index(self, idx: dict) -> None:
         import json
         import os
         import tempfile
 
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(idx, f)
+        os.replace(tmp, self._index_path())
+
+    def committed_runs(self) -> list[str]:
+        return self._read_index()["runs"]
+
+    def committed_files(self) -> set[str]:
+        """Every INPUT file whose docs' signatures are committed, across
+        all runs. This is the crash-replay key for the dedup agent: a tick
+        that died between the store commit and the manifest commit leaves
+        its files here but not in the manifest, and the retry must not
+        re-append them even if the pending set has since changed (ADVICE
+        r4 medium — run-set hashes are not a stable replay key)."""
+        files: set[str] = set()
+        for fs in self._read_index()["files"].values():
+            files.update(fs)
+        return files
+
+    def files_complete(self) -> bool:
+        """True when every committed run recorded its input files — i.e.
+        committed_files() is a complete provenance map and callers may
+        prune corpus scans to it. Legacy runs appended without
+        `input_files` make it False."""
+        idx = self._read_index()
+        return all(r in idx["files"] for r in idx["runs"])
+
+    def append(
+        self, sigs: DataFrame, run_id: str, input_files: list[str] | None = None
+    ) -> None:
+        """Write-then-commit: parquet first, index rename second.
+        `input_files` records which source files this run's signatures came
+        from (feeds `committed_files()` for per-file crash replay)."""
+        import os
+
+        if not run_id:
+            raise ValueError("append requires a run_id")
         if run_id in self.committed_runs():
             raise ValueError(f"signature run {run_id!r} already committed")
         path = os.path.join(self.root, "runs", run_id)
         sigs.write.mode("overwrite").parquet(path)
-        runs = self.committed_runs() + [run_id]
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"runs": runs}, f)
-        os.replace(tmp, self._index_path())
+        idx = self._read_index()
+        idx["runs"] = idx["runs"] + [run_id]
+        if input_files:
+            idx["files"][run_id] = sorted(input_files)
+        self._write_index(idx)
 
     def load(self, spark) -> DataFrame | None:
         """All committed signatures, or None when the store is empty."""
@@ -749,10 +788,8 @@ class SignatureStore:
         the index are reaped only after the swap (a crash in between
         leaves unreferenced dirs that the next compact sweeps)."""
         import hashlib
-        import json
         import os
         import shutil
-        import tempfile
 
         runs = self.committed_runs()
         if len(runs) > 1:
@@ -760,10 +797,11 @@ class SignatureStore:
             self.load(spark).write.mode("overwrite").parquet(
                 os.path.join(self.root, "runs", cid)
             )
-            fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
-            with os.fdopen(fd, "w") as f:
-                json.dump({"runs": [cid]}, f)
-            os.replace(tmp, self._index_path())
+            # fold the per-run file provenance into the compacted run so
+            # committed_files() survives compaction
+            all_files = sorted(self.committed_files())
+            idx = {"runs": [cid], "files": {cid: all_files} if all_files else {}}
+            self._write_index(idx)
         # sweep anything the index no longer references
         live = set(self.committed_runs())
         runs_dir = os.path.join(self.root, "runs")
@@ -777,7 +815,7 @@ def incremental_near_dup_pairs(
     store: SignatureStore,
     new_docs: DataFrame,
     corpus: DataFrame,
-    run_id: str,
+    run_id: str | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 16,
@@ -786,6 +824,7 @@ def incremental_near_dup_pairs(
     threshold: float = 0.5,
     max_bucket: int | None = None,
     replay: bool = False,
+    input_files: list[str] | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs INVOLVING the new batch: new-vs-new plus
     new-vs-already-ingested, then append the new signatures to the store.
@@ -816,11 +855,15 @@ def incremental_near_dup_pairs(
     old_sigs = store.load(new_docs.sparkSession)
 
     if replay:
-        # crash replay AFTER the store commit (run_id already committed):
-        # this run's signatures are already in old_sigs — band against the
-        # store alone and skip the append; the pair set is identical to
-        # the original attempt's (signatures are deterministic)
-        if run_id not in store.committed_runs() or old_sigs is None:
+        # crash replay AFTER the store commit: these docs' signatures are
+        # already in old_sigs — band against the store alone and skip the
+        # append; the pair set is identical to the original attempt's
+        # (signatures are deterministic). run_id=None means "the caller
+        # established from committed_files() that every new_docs source
+        # file is already ingested" (the per-file replay key, ADVICE r4).
+        if old_sigs is None or (
+            run_id is not None and run_id not in store.committed_runs()
+        ):
             raise ValueError(
                 f"replay=True but run {run_id!r} is not committed in the store"
             )
@@ -853,5 +896,5 @@ def incremental_near_dup_pairs(
         touched, id_col, text_col, k, threshold=threshold, candidates=pairs
     )
     if not replay:
-        store.append(new_sigs, run_id)
+        store.append(new_sigs, run_id, input_files=input_files)
     return verified

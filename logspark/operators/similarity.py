@@ -108,15 +108,21 @@ def cosine_topk_batch(
             S = Vn @ Qn.T  # (n, |Q|)
             out_q, out_id, out_s = [], [], []
             for j, qid in enumerate(qids):
-                sims = S[:, j].copy()
+                sims = np.round(S[:, j], 6)  # round BEFORE selecting: the
+                # local cut must use the same (rounded sim desc, id asc)
+                # total order as the global window, or a tie at the k
+                # boundary can evict a true top-k member (ADVICE r4)
                 sims[ids == qid] = -np.inf  # exclude self
                 kk = min(k, len(sims))
-                top = np.argpartition(-sims, kk - 1)[:kk]
-                for i in top:
+                cut = np.argpartition(-sims, kk - 1)[:kk]
+                t = sims[cut].min()  # kk-th largest rounded sim
+                cand = np.nonzero(sims >= t)[0]  # all tie-equivalents at the cut
+                order = np.lexsort((ids[cand], -sims[cand]))  # sim desc, id asc
+                for i in cand[order[:kk]]:
                     if np.isfinite(sims[i]):
                         out_q.append(qid)
-                        out_id.append(ids[i])
-                        out_s.append(round(float(sims[i]), 6))
+                        out_id.append(int(ids[i]))
+                        out_s.append(float(sims[i]))
             yield pd.DataFrame(
                 {"query_id": pd.Series(out_q, dtype="int64"),
                  id_col: pd.Series(out_id, dtype="int64"),

@@ -221,8 +221,12 @@ def pack_sequences(
     return (
         base.join(F.broadcast(off_df), "_bkt")
         .withColumn("_start", start)
-        .withColumn("_first", (F.col("_start") / L).cast("long"))
-        .withColumn("_last", ((F.col("_start") + F.col("n_toks") - 1) / L).cast("long"))
+        # integer division (`div`), NOT `/`: `/` on longs is double
+        # division, exact only below 2^53 — past that the closed-form
+        # sequence boundaries can misround and silently mis-assign docs
+        # (ADVICE r4; same integer-bit-ops discipline as simhash bands)
+        .withColumn("_first", F.expr(f"_start div {int(seq_tokens)}"))
+        .withColumn("_last", F.expr(f"(_start + n_toks - 1) div {int(seq_tokens)}"))
         .select(
             id_col,
             "n_toks",

@@ -48,34 +48,79 @@ def dedup_tick(
     when nothing is pending). Safe to call from a watch()-style loop."""
     with WriterLock(sink_root):
         all_files = io.input_files(spark, table)
-        pending = mf.pending_files(all_files, mf.load_manifest(sink_root))
+        manifest = mf.load_manifest(sink_root)
+        pending = mf.pending_files(all_files, manifest)
         if not pending:
             return {"run_id": None, "new_files": [], "n_pairs": 0}
         rid = "d-" + hashlib.md5("\n".join(sorted(pending)).encode()).hexdigest()[:12]
         store = SignatureStore(os.path.join(sink_root, "sigstore"))
-        new_docs = io.read_files(spark, table, pending)
-        corpus = io.read(spark, table)  # verify stage texts (semi-join pruned)
-        # crash replay: a tick that died between the store commit and the
-        # manifest commit retries under the SAME rid (derived from the
-        # pending set) — signatures are already ingested, so recompute the
-        # identical pair set without re-appending
-        replay = rid in store.committed_runs()
-        pairs = incremental_near_dup_pairs(
-            store,
-            new_docs,
-            corpus,
-            run_id=rid,
-            threshold=threshold,
-            n_hashes=n_hashes,
-            bands=bands,
-            k=k,
-            replay=replay,
-        )
+
+        # Crash replay is keyed PER FILE, not on the pending-set hash
+        # (ADVICE r4 medium): a tick that died between the store commit and
+        # the manifest commit leaves its files in store.committed_files()
+        # but not in the manifest. If a NEW file arrived before the retry,
+        # the pending set (and rid) changed — but the per-file key still
+        # routes the already-ingested files through replay (band against
+        # the store, never re-append), so the store can never accumulate
+        # duplicate signature rows.
+        ingested = store.committed_files()
+        already = sorted(f for f in pending if f in ingested)
+        fresh = sorted(f for f in pending if f not in ingested)
+
+        # Verify-stage texts: only files that can hold candidate-touched
+        # docs — the pending set plus every store-member file. Files that
+        # land in the table concurrently (after the listing above) are
+        # never scanned; io.read(table) at action time would be. Legacy
+        # stores without per-run file provenance fall back to the
+        # manifest's processed set.
+        needed = set(pending) | ingested
+        if not store.files_complete():
+            needed |= manifest.processed_files
+        corpus = io.read_files(spark, table, sorted(needed & set(all_files) | set(pending)))
+
+        parts = []
+        if already:
+            parts.append(
+                incremental_near_dup_pairs(
+                    store,
+                    io.read_files(spark, table, already),
+                    corpus,
+                    run_id=None,
+                    threshold=threshold,
+                    n_hashes=n_hashes,
+                    bands=bands,
+                    k=k,
+                    replay=True,
+                )
+            )
+        if fresh:
+            parts.append(
+                incremental_near_dup_pairs(
+                    store,
+                    io.read_files(spark, table, fresh),
+                    corpus,
+                    run_id=rid,
+                    threshold=threshold,
+                    n_hashes=n_hashes,
+                    bands=bands,
+                    k=k,
+                    input_files=fresh,
+                )
+            )
+        pairs = parts[0]
+        for p in parts[1:]:
+            pairs = pairs.unionByName(p).dropDuplicates(["a", "b"])
         out = os.path.join(sink_root, "runs", rid, "pairs")
         pairs.write.mode("overwrite").parquet(out)
         n_pairs = spark.read.parquet(out).count()
         mf.commit_run(sink_root, mf.RunRecord(run_id=rid, input_files=pending))
-        return {"run_id": rid, "new_files": pending, "n_pairs": n_pairs}
+        return {
+            "run_id": rid,
+            "new_files": pending,
+            "n_pairs": n_pairs,
+            "replayed_files": already,
+            "corpus_files": sorted(corpus.inputFiles()),
+        }
 
 
 def watch_dedup(

@@ -125,6 +125,8 @@ def _make_emb_near_dup_fn(threshold: float, max_bucket: int | None):
         import numpy as np
         import pandas as pd
 
+        from logspark.functions.rounding import round_half_up6
+
         if state.exists:
             ids, vecs, capped = state.get
             ids = list(ids)
@@ -152,15 +154,24 @@ def _make_emb_near_dup_fn(threshold: float, max_bucket: int | None):
                 O = np.array(vecs, dtype=np.float64)
                 On = O / np.maximum(np.linalg.norm(O, axis=1, keepdims=True), 1e-300)
                 S = Nn @ On.T
+                # HALF_UP like the batch path's F.round — then threshold
+                # on the ROUNDED value, mirroring ivf_near_dups' order of
+                # operations, so a sim at a rounding/threshold boundary
+                # lands on the same side in both paths (ADVICE r4). BLAS
+                # accumulation may still differ from the batch left fold
+                # by an ulp BEFORE rounding; only a sim whose shortest
+                # repr straddles a 6dp boundary within that ulp could
+                # diverge — documented, not observed in the equivalence
+                # property tests.
                 for i, nid in enumerate(new_ids):
                     for j, oid in enumerate(ids):
-                        s = round(float(S[i, j]), 6)
+                        s = round_half_up6(float(S[i, j]))
                         if s >= threshold:
                             out.append((min(nid, oid), max(nid, oid), s))
             S2 = Nn @ Nn.T
             for i in range(len(new_ids)):
                 for j in range(i + 1, len(new_ids)):
-                    s = round(float(S2[i, j]), 6)
+                    s = round_half_up6(float(S2[i, j]))
                     if s >= threshold:
                         out.append((new_ids[i], new_ids[j], s))
         state.update((ids + new_ids, vecs + new_vecs, False))

@@ -491,6 +491,103 @@ def test_dedup_agent_ticks_equal_whole_corpus(spark, tmp_path):
     assert got_again == whole
 
 
+def test_dedup_agent_replay_with_new_arrival(spark, tmp_path):
+    """ADVICE r4 (medium): a tick dies between the SignatureStore commit
+    and the manifest commit, and a NEW file arrives before the retry. The
+    pending set (and rid) changes — replay must still be detected PER FILE
+    so the crashed file's signatures are never appended twice, and the
+    union of pairs still equals the one-shot whole-corpus set."""
+    import pandas as pd
+
+    from logspark.operators import dedup
+    from logspark.plans import dedup_agent
+    from logspark.sources import manifest as mf
+    from logspark.sources.tableio import ParquetIO
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    b1 = [(1, base), (2, base + " today")]
+    b2 = [(3, base + " yesterday"), (4, "totally different content here okay")]
+    b3 = [(5, base + " tomorrow"), (6, "totally different content here okay now")]
+    tbl = tmp_path / "in" / "docs.parquet"
+    tbl.mkdir(parents=True)
+    pd.DataFrame(b1, columns=["doc_id", "text"]).to_parquet(tbl / "f1.parquet")
+    io = ParquetIO(str(tmp_path / "in"))
+    sink = str(tmp_path / "agent")
+
+    r1 = dedup_agent.dedup_tick(spark, io, "docs", sink, threshold=0.5)
+    assert r1["run_id"]
+
+    # tick 2 ingests f2 but "crashes" before the manifest commit: simulate
+    # by running the tick then dropping its run from the manifest (the
+    # store keeps f2's signatures — exactly the crash window)
+    pd.DataFrame(b2, columns=["doc_id", "text"]).to_parquet(tbl / "f2.parquet")
+    r2 = dedup_agent.dedup_tick(spark, io, "docs", sink, threshold=0.5)
+    m = mf.load_manifest(sink)
+    mf.save_manifest(sink, mf.Manifest(runs=[r for r in m.runs if r.run_id != r2["run_id"]]))
+
+    # a NEW file arrives before the retry -> pending = {f2, f3}, rid changes
+    pd.DataFrame(b3, columns=["doc_id", "text"]).to_parquet(tbl / "f3.parquet")
+    r3 = dedup_agent.dedup_tick(spark, io, "docs", sink, threshold=0.5)
+    assert r3["run_id"] != r2["run_id"]
+    assert any(f.endswith("f2.parquet") for f in r3["replayed_files"])
+
+    # the store must hold exactly ONE signature row per doc (no re-append)
+    store = dedup.SignatureStore(str(tmp_path / "agent" / "sigstore"))
+    sigs = store.load(spark).groupBy("doc_id").count().collect()
+    assert all(r["count"] == 1 for r in sigs) and len(sigs) == 6
+
+    # union of tick pairs == one-shot whole-corpus pairs
+    corpus = spark.createDataFrame(b1 + b2 + b3, "doc_id bigint, text string")
+    whole = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard(
+            corpus,
+            threshold=0.5,
+            candidates=dedup.lsh_candidates(dedup.minhash_signatures(corpus)),
+        ).collect()
+    }
+    got = {(r["a"], r["b"]) for r in dedup_agent.all_pairs(spark, sink).collect()}
+    assert got == whole and whole
+
+
+def test_dedup_tick_verify_scan_pruned(spark, tmp_path):
+    """VERDICT r4 #5: the tick's verify-stage corpus scan reads only
+    pending ∪ store-member files — a file that lands in the table after
+    the tick's listing (simulated by pinning input_files) is never
+    scanned, where io.read(table) at action time would have read it."""
+    import pandas as pd
+
+    from logspark.plans import dedup_agent
+    from logspark.sources.tableio import ParquetIO
+
+    tbl = tmp_path / "in" / "docs.parquet"
+    tbl.mkdir(parents=True)
+    pd.DataFrame([(1, "alpha beta gamma"), (2, "alpha beta gamma delta")],
+                 columns=["doc_id", "text"]).to_parquet(tbl / "f1.parquet")
+    io = ParquetIO(str(tmp_path / "in"))
+    sink = str(tmp_path / "agent")
+    r1 = dedup_agent.dedup_tick(spark, io, "docs", sink, threshold=0.3)
+    assert all("f1.parquet" in f for f in r1["corpus_files"])
+
+    pd.DataFrame([(3, "alpha beta gamma epsilon")], columns=["doc_id", "text"]
+                 ).to_parquet(tbl / "f2.parquet")
+    # concurrent arrival AFTER this tick's listing: pin the listing to
+    # {f1, f2}, then drop f_late into the table before the tick runs
+    listed = io.input_files(spark, "docs")
+
+    class PinnedIO(ParquetIO):
+        def input_files(self, spark, table):
+            return listed
+
+    pd.DataFrame([(9, "zeta eta theta")], columns=["doc_id", "text"]
+                 ).to_parquet(tbl / "f_late.parquet")
+    r2 = dedup_agent.dedup_tick(spark, PinnedIO(str(tmp_path / "in")), "docs", sink, threshold=0.3)
+    assert r2["run_id"] is not None
+    assert not any("f_late" in f for f in r2["corpus_files"])
+    assert any("f1.parquet" in f for f in r2["corpus_files"])  # store-member file scanned
+    assert any("f2.parquet" in f for f in r2["corpus_files"])  # pending file scanned
+
+
 def test_watch_dedup_loop(spark, tmp_path):
     """watch_dedup polls and ticks: first iteration ingests the pending
     file, second is a no-op (nothing new)."""

@@ -875,6 +875,51 @@ def test_cosine_topk_batch_equals_per_query(spark, emb):
         similarity.cosine_topk_batch(emb, [10**9], k=3)
 
 
+def test_round_half_up6_matches_spark_round(spark):
+    """round_half_up6 is bit-identical to F.round(col, 6) on doubles —
+    including the half-even-vs-half-up boundary cases where Python's
+    builtin round() diverges (ADVICE r4: the streaming IVF path must
+    round exactly like the batch F.round it mirrors)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from logspark.functions.rounding import round_half_up6
+
+    rng = random.Random(7)
+    vals = [0.9999995, -0.9999995, 0.1234565, 0.1234575, 0.5e-6, -0.5e-6, 1.0, 0.0]
+    vals += [rng.uniform(-1, 1) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["x"]: r["r"] for r in df.select("x", F.round("x", 6).alias("r")).collect()}
+    for v in vals:
+        assert round_half_up6(v) == got[v], v
+    # and the builtin does NOT match on a half boundary (sanity that the
+    # helper is actually needed)
+    assert round(0.1234565, 6) != round_half_up6(0.1234565)
+
+
+def test_pack_sequences_div_exact_past_2_53(spark):
+    """The closed-form sequence boundaries use integer `div`, not double
+    division — at offsets past 2^53 the old `/`+cast form misrounds
+    (ADVICE r4). Check the expression directly at huge offsets."""
+    from pyspark.sql import functions as F
+
+    L = 2048
+    starts = [2**53 + 1, 2**53 + 3, 2**60 + 12345, 2**62 - 7]
+    df = spark.createDataFrame([(s, 100) for s in starts], "_start long, n_toks long")
+    rows = df.select(
+        "_start",
+        F.expr(f"_start div {L}").alias("first"),
+        F.expr(f"(_start + n_toks - 1) div {L}").alias("last"),
+        (F.col("_start") / F.lit(L).cast("long")).cast("long").alias("first_float"),
+    ).collect()
+    for r in rows:
+        assert r["first"] == r["_start"] // L
+        assert r["last"] == (r["_start"] + 99) // L
+    # the double-division form really does misround up there
+    assert any(r["first_float"] != r["first"] for r in rows)
+
+
 def test_pack_sequences_invariants(spark):
     """Concatenate-and-cut packing: every sequence except the last holds
     exactly seq_tokens tokens; each doc's slices are contiguous, start at
