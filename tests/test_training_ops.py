@@ -1047,3 +1047,33 @@ def test_conversation_examples_token_budget(spark):
         ).collect()
     }
     assert mid[("c1", 3)] == "tool: a b\nuser: x"
+
+
+def test_conversation_examples_long_conversation_linear(spark):
+    """VERDICT r4 #1: context is collected over the BOUNDED frame
+    rowsBetween(-k, -1), so one 50k-turn conversation is O(T·k), not
+    O(T²) — it must finish in seconds. Also checks a deep example's
+    context is exactly the last k prior turns."""
+    import time
+
+    from logspark.operators.aggregates import conversation_examples
+
+    T = 50_000
+    rows = [
+        ("long", i, "user" if i % 2 == 0 else "assistant", f"turn {i} words here")
+        for i in range(T)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string").coalesce(4)
+    t0 = time.monotonic()
+    out = conversation_examples(df, max_context_turns=8)
+    n = out.count()
+    deep = out.filter(F.col("turn_idx") == T - 1).collect()[0]
+    wall = time.monotonic() - t0
+    assert n == T // 2  # every assistant turn has prior context
+    assert deep["context"].splitlines() == [
+        f"{'user' if i % 2 == 0 else 'assistant'}: turn {i} words here"
+        for i in range(T - 9, T - 1)
+    ]
+    assert deep["target"] == f"turn {T - 1} words here"
+    # generous bound: the O(T^2) form takes minutes on 50k turns
+    assert wall < 60, f"conversation_examples took {wall:.1f}s on a {T}-turn conversation"
