@@ -434,9 +434,9 @@ TOY_BPE_MERGES: list[tuple[str, str]] = [
 _SYM_L, _SYM_R = "\x02", "\x03"
 
 
-def _bpe_word_token_count(t):
-    """Symbol count of one alphabetic pre-token after applying
-    TOY_BPE_MERGES in rank order (native Columns, zero Python).
+def _bpe_word_token_count(t, merges: list[tuple[str, str]] | None = None):
+    """Symbol count of one alphabetic pre-token after applying the merge
+    table in rank order (native Columns, zero Python).
 
     Sequential exhaustive application in rank order equals the classic
     min-rank-first encoder for any VALID merge table: a merge's output
@@ -444,13 +444,39 @@ def _bpe_word_token_count(t):
     and replacing [x][y] with [xy] never creates a new [x][y] occurrence,
     so one replace() pass per merge is exhaustive."""
     s = F.regexp_replace(t, "(.)", f"{_SYM_L}$1{_SYM_R}")
-    for x, y in TOY_BPE_MERGES:
+    for x, y in TOY_BPE_MERGES if merges is None else merges:
         s = F.replace(
             s,
             F.lit(f"{_SYM_L}{x}{_SYM_R}{_SYM_L}{y}{_SYM_R}"),
             F.lit(f"{_SYM_L}{x}{y}{_SYM_R}"),
         )
     return F.size(F.split(s, _SYM_L)) - 1
+
+
+def bpe_encode(word: str, ranks: dict) -> list[str]:
+    """Classic min-rank-first BPE encoder (the subword-nmt/GPT-2 shape):
+    repeatedly merge the lowest-ranked adjacent symbol pair present.
+    Plain Python — the kernel of the pandas-UDF large-vocab path, and the
+    reference the native replace-chain is property-tested against."""
+    syms = list(word)
+    while len(syms) > 1:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = (syms[i], syms[i + 1]), r
+        if best is None:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
 
 
 def bpe_tokenize(col, merges: list[tuple[str, str]] | None = None):
@@ -476,32 +502,164 @@ def bpe_tokenize(col, merges: list[tuple[str, str]] | None = None):
     return F.transform(pieces, lambda p: F.replace(p, F.lit(_SYM_R), F.lit("")))
 
 
-def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+# Above this many merges the native replace-chain (one Column expression
+# per merge) stops being the right plan: the expression tree grows
+# linearly, codegen methods split, and analysis time dominates. The
+# pandas path's per-batch cost is flat in table size (dict lookups).
+NATIVE_MERGE_LIMIT = 128
+
+
+def with_bpe_token_count(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+    engine: str = "auto",
+) -> DataFrame:
     """Merge-table-driven BPE token count. Pre-tokenize with the GPT-2-ish
-    regex, then BPE-merge each alphabetic word against TOY_BPE_MERGES
-    (lowercase vocabulary — uppercase letters stay single symbols, as a
-    real lowercase-trained vocab would leave them); digit runs and
-    punctuation stay one token per pre-tokenizer atom. All native
-    regexp/replace/aggregate expressions — JVM-side, no Python; the
-    DuckDB oracle builds the identical replace() chain. Emits both
-    `n_pretokens` (split only) and `n_tokens_bpe` (after merges)."""
-    # _bt named column: the pre-tokenize regex runs ONCE per row even with
-    # two consumers (see the Catalyst-CSE NOTE at the top of this file)
-    per = F.transform(
-        F.col("_bt"),
-        lambda t: F.when(t.rlike("^[A-Za-z]+$"), _bpe_word_token_count(t)).otherwise(
-            F.lit(1)
-        ),
-    )
-    return (
-        df.withColumn("_bt", F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
-        .withColumn("n_pretokens", F.size("_bt").cast("long"))
-        .withColumn(
-            "n_tokens_bpe",
-            F.aggregate(per, F.lit(0).cast("long"), lambda a, v: a + v.cast("long")),
+    regex, then BPE-merge each alphabetic word against the merge table
+    (default TOY_BPE_MERGES; lowercase vocabulary — uppercase letters stay
+    single symbols, as a real lowercase-trained vocab would leave them);
+    digit runs and punctuation stay one token per pre-tokenizer atom.
+    Emits both `n_pretokens` (split only) and `n_tokens_bpe` (after
+    merges).
+
+    Two engines, same result (property-tested equal on valid cascades):
+
+    - ``native`` — one replace() Column per merge, JVM-side, zero Python;
+      the DuckDB oracle builds the identical replace() chain. The right
+      plan for small tables (the gated configuration), but each merge adds
+      an expression node, so a production-sized table (10k-100k merges)
+      would blow up analysis/codegen.
+    - ``pandas`` — Arrow-batched classic min-rank-first encoder
+      (`bpe_encode`) with the merge-rank dict shipped once per executor in
+      the UDF closure (the broadcast shape) and a per-executor word cache
+      (Zipf: the hot words dominate, so amortized cost per token is a dict
+      hit). Engine-specific, so not hash-comparable to a SQL oracle —
+      gated instead by the native≡pandas property test.
+
+    ``engine='auto'`` picks native up to NATIVE_MERGE_LIMIT merges."""
+    m = TOY_BPE_MERGES if merges is None else merges
+    if engine == "auto":
+        engine = "native" if len(m) <= NATIVE_MERGE_LIMIT else "pandas"
+    if engine == "native":
+        # _bt named column: the pre-tokenize regex runs ONCE per row even
+        # with two consumers (see the Catalyst-CSE NOTE atop this file)
+        per = F.transform(
+            F.col("_bt"),
+            lambda t: F.when(
+                t.rlike("^[A-Za-z]+$"), _bpe_word_token_count(t, m)
+            ).otherwise(F.lit(1)),
         )
-        .drop("_bt")
+        return (
+            df.withColumn(
+                "_bt", F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+            )
+            .withColumn("n_pretokens", F.size("_bt").cast("long"))
+            .withColumn(
+                "n_tokens_bpe",
+                F.aggregate(per, F.lit(0).cast("long"), lambda a, v: a + v.cast("long")),
+            )
+            .drop("_bt")
+        )
+    if engine != "pandas":
+        raise ValueError(f"with_bpe_token_count: unknown engine {engine!r}")
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(m)}
+
+    @pandas_udf("struct<n_pretokens:bigint,n_tokens_bpe:bigint>")
+    def _counts(s):
+        import re
+
+        import pandas as pd
+
+        tok_re = re.compile(BPE_TOKEN_RE)
+        alpha = re.compile(r"[A-Za-z]+\Z")
+        cache: dict[str, int] = {}
+        npre, nbpe = [], []
+        for text in s:
+            toks = tok_re.findall(text or "")
+            total = 0
+            for t in toks:
+                if alpha.match(t):
+                    n = cache.get(t)
+                    if n is None:
+                        n = len(bpe_encode(t, ranks))
+                        cache[t] = n
+                    total += n
+                else:
+                    total += 1
+            npre.append(len(toks))
+            nbpe.append(total)
+        return pd.DataFrame({"n_pretokens": npre, "n_tokens_bpe": nbpe})
+
+    return (
+        df.withColumn("_c", _counts(F.col(text_col)))
+        .withColumn("n_pretokens", F.col("_c.n_pretokens"))
+        .withColumn("n_tokens_bpe", F.col("_c.n_tokens_bpe"))
+        .drop("_c")
     )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Deterministic BPE merge-table training — the subword-nmt shape.
+
+    The ONLY corpus-scale pass is a distributed word histogram (pre-token
+    explode → groupBy → count, capped at `max_words` by (count desc, word)
+    — Zipf makes the tail irrelevant); the greedy merge loop then runs
+    driver-side over that small (word, count) table. This is how BPE
+    training actually scales: the corpus can be 100 TB, the histogram is
+    MBs. Ties in pair counts break lexicographically, so the table is a
+    pure function of the histogram (engine-independent, reproducible).
+
+    Output merges are a valid cascade BY CONSTRUCTION (each merge's
+    components are single chars or earlier outputs), so the result feeds
+    either `with_bpe_token_count` engine."""
+    rows = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+            ).alias("w")
+        )
+        .filter(F.col("w").rlike("^[A-Za-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {tuple(r["w"]): r["c"] for r in rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        # max count, lexicographically-smallest pair — fully deterministic
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + c
+        vocab = merged
+    return merges
 
 
 SIMHASH_BITS = 60  # md5-15-hex portable hash gives 60 usable bits

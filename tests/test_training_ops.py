@@ -30,10 +30,13 @@ def test_token_stats(docs):
     assert out["avg_token_len"] == pytest.approx(sum(map(len, toks)) / len(toks), abs=1e-6)
 
 
-def _reference_bpe_encode(word: str) -> list[str]:
+def _reference_bpe_encode(word: str, merges=None) -> list[str]:
     """Classic min-rank-first BPE encoder (the HuggingFace/subword-nmt
     shape): repeatedly merge the lowest-ranked adjacent pair present."""
-    ranks = {pair: i for i, pair in enumerate(textops.TOY_BPE_MERGES)}
+    ranks = {
+        tuple(pair): i
+        for i, pair in enumerate(textops.TOY_BPE_MERGES if merges is None else merges)
+    }
     syms = list(word)
     while len(syms) > 1:
         best, best_rank = None, None
@@ -109,6 +112,80 @@ def test_bpe_token_count_matches_reference_encoder(spark):
     }
     for w in words:
         assert got[w] == _reference_bpe_encode(w), w
+
+
+def test_bpe_pandas_engine_matches_native_and_scales_vocab(spark):
+    """VERDICT r4 #3: the pandas-UDF classic encoder path. (a) native ≡
+    pandas on the TOY table and on a small TRAINED table (valid cascades
+    — the property that makes them interchangeable); (b) a ~1k-merge
+    trained table — far past what the native replace-chain should ever
+    express as one expression tree — encodes correctly vs the in-test
+    reference encoder, and engine='auto' routes it to pandas."""
+    import re
+
+    texts = [
+        "the thermal understanding of another singing bird",
+        "what you are doing with that 123 ... thing!",
+        "aaa bbb the the the and and in in xyzzy",
+        "",
+        "MiXeD CaSe And punctuation; truly?",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+
+    # (a) native == pandas on the toy table
+    nat = {r["doc_id"]: (r["n_pretokens"], r["n_tokens_bpe"])
+           for r in textops.with_bpe_token_count(df, engine="native").collect()}
+    pan = {r["doc_id"]: (r["n_pretokens"], r["n_tokens_bpe"])
+           for r in textops.with_bpe_token_count(df, engine="pandas").collect()}
+    assert nat == pan
+
+    # train a small table on a synthetic corpus; native == pandas on it too
+    corpus_rows = [(i, " ".join(texts) + " repetition makes frequency") for i in range(4)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    small = textops.train_bpe_merges(corpus, n_merges=30)
+    assert len(small) == 30
+    formed = set()
+    for x, y in small:  # valid cascade by construction
+        for part in (x, y):
+            assert len(part) == 1 or part in formed, (x, y)
+        formed.add(x + y)
+    nat2 = {r["doc_id"]: r["n_tokens_bpe"]
+            for r in textops.with_bpe_token_count(df, merges=small, engine="native").collect()}
+    pan2 = {r["doc_id"]: r["n_tokens_bpe"]
+            for r in textops.with_bpe_token_count(df, merges=small, engine="pandas").collect()}
+    assert nat2 == pan2
+
+    # determinism: retraining yields the identical table
+    assert textops.train_bpe_merges(corpus, n_merges=30) == small
+
+    # (b) ~1k merges: train on a wider synthetic corpus
+    import random
+    rng = random.Random(11)
+    syllables = ["ka", "to", "ri", "nu", "se", "pla", "ver", "mon", "dil", "qua",
+                 "bre", "sto", "fin", "gor", "lux", "zen", "arc", "tem", "hol", "wis"]
+    words = ["".join(rng.choices(syllables, k=rng.randint(2, 6))) for _ in range(2000)]
+    big_corpus = spark.createDataFrame(
+        [(i, " ".join(rng.choices(words, k=60))) for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    big = textops.train_bpe_merges(big_corpus, n_merges=1000)
+    assert len(big) == 1000
+    assert len(big) > textops.NATIVE_MERGE_LIMIT  # auto must go pandas
+    out = textops.with_bpe_token_count(df.union(big_corpus.limit(3)), merges=big).collect()
+    for r in out:
+        pretoks = re.findall(textops.BPE_TOKEN_RE, r["text"])
+        expect = sum(
+            len(_reference_bpe_encode(t, big)) if re.fullmatch("[A-Za-z]+", t) else 1
+            for t in pretoks
+        )
+        assert r["n_pretokens"] == len(pretoks)
+        assert r["n_tokens_bpe"] == expect, r["doc_id"]
+    # merges really fire on corpus words: counts shrink vs characters
+    big_rows = [r for r in out if r["doc_id"] < 3 and len(r["text"]) > 100]
+    assert all(
+        r["n_tokens_bpe"] < sum(len(t) for t in re.findall(textops.BPE_TOKEN_RE, r["text"]))
+        for r in big_rows
+    ) and big_rows
 
 
 def test_quality(docs):
