@@ -248,6 +248,158 @@ def pack_sequences(
     )
 
 
+def pack_sequences_nosplit(
+    df: DataFrame,
+    seq_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """No-split first-fit sequence packing (SURVEY §9.4): docs in `id_col`
+    order are packed greedily into bins of capacity `seq_tokens` — a doc
+    that doesn't fit CLOSES the bin and opens the next; docs are never
+    split (the SFT/eval packing layout, vs `pack_sequences`'
+    concatenate-and-cut). Docs longer than `seq_tokens` are dropped (they
+    can never fit; count them upstream if you need an audit). Output:
+    (seq_idx, id, n_toks), bit-identical to a sequential driver packer
+    for ANY bucket count (property-tested).
+
+    The greedy recurrence is sequential — bin state threads through every
+    doc — so the scale shape is the mixture/pack two-phase pattern plus a
+    DRIVER RECONCILIATION of bucket-boundary bins:
+
+    1. range-bucket by id; per bucket, one backward DP over the local
+       prefix sums computes, for every doc position p in the bucket's
+       HEAD WINDOW (docs summing to ≤ seq_tokens — the only region a
+       carried-in open bin can reach), the carry-out fill C[p] and bin
+       count NB[p] of packing fresh from p. O(n) per bucket via
+       searchsorted; only the window rows (≤ one sequence's worth of
+       docs per bucket) ship to the driver.
+    2. the driver folds buckets in order: binary-search the window for
+       j* = how many head docs join the carried bin, then jump straight
+       to that packing's precomputed (C, NB) — O(P log W) total, never
+       touching per-doc data outside the windows.
+    3. a second distributed pass re-runs the local greedy per bucket from
+       its reconciled (j*, carried-bin id, first-new-bin id) — embarrass-
+       ingly parallel, emits the final assignment.
+
+    Invariants (pytest-pinned): no doc split, no bin over `seq_tokens`,
+    bin ids dense in opening order, result independent of num_buckets."""
+    spark = df.sparkSession
+    if seq_tokens <= 0:
+        raise ValueError(f"pack_sequences_nosplit: seq_tokens must be positive, got {seq_tokens}")
+    if num_buckets is not None and num_buckets <= 0:
+        raise ValueError(f"pack_sequences_nosplit: num_buckets must be positive, got {num_buckets}")
+    P = (
+        num_buckets
+        if num_buckets is not None
+        else int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    L = int(seq_tokens)
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    base = (
+        df.select(F.col(id_col), n_tok.alias("n_toks"))
+        .filter((F.col("n_toks") > 0) & (F.col("n_toks") <= L))
+        .repartitionByRange(P, F.col(id_col))
+        .withColumn("_bkt", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+    id_name = id_col
+
+    def _summarize(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_name)
+        sizes = pdf["n_toks"].to_numpy(dtype=np.int64)
+        n = len(sizes)
+        bkt = int(pdf["_bkt"].iloc[0])
+        S = np.concatenate([[0], np.cumsum(sizes)])
+        # backward DP: from position p packing fresh, the first bin takes
+        # docs [p, m) with m = max index s.t. S[m]-S[p] <= L; if it reaches
+        # the end the bin stays open, else recurse at m
+        C = np.zeros(n + 1, dtype=np.int64)
+        NB = np.zeros(n + 1, dtype=np.int64)
+        for p in range(n - 1, -1, -1):
+            m = int(np.searchsorted(S, S[p] + L, side="right")) - 1
+            if m >= n:
+                C[p] = S[n] - S[p]
+                NB[p] = 1
+            else:
+                C[p] = C[m]
+                NB[p] = 1 + NB[m]
+        w = int(np.searchsorted(S, L, side="right")) - 1  # head window end
+        w = min(w, n)
+        rows = [(bkt, int(p), int(S[p]), int(C[p]), int(NB[p])) for p in range(w + 1)]
+        rows.append((bkt, -1, int(S[n]), 0, int(n)))  # totals row
+        return pd.DataFrame(rows, columns=["bkt", "p", "s", "c", "nb"])
+
+    summary = (
+        base.groupBy("_bkt")
+        .applyInPandas(_summarize, "bkt int, p long, s long, c long, nb long")
+        .collect()
+    )
+    by_bkt: dict[int, dict] = {}
+    for r in summary:
+        b = by_bkt.setdefault(r["bkt"], {"win": {}, "n": 0, "total": 0})
+        if r["p"] < 0:
+            b["total"], b["n"] = r["s"], r["nb"]
+        else:
+            b["win"][r["p"]] = (r["s"], r["c"], r["nb"])
+
+    # driver fold: thread (open-bin id, fill) through buckets in order
+    plan: dict[int, tuple[int, int, int]] = {}  # bkt -> (jstar, carried_id, first_new)
+    open_id, fill, next_bin = -1, 0, 0
+    for bkt in sorted(by_bkt):
+        b = by_bkt[bkt]
+        n, total = b["n"], b["total"]
+        if n == 0:
+            plan[bkt] = (0, open_id, next_bin)
+            continue
+        if open_id < 0:
+            jstar = 0
+        elif total <= L - fill:
+            # whole bucket joins the carried bin
+            plan[bkt] = (n, open_id, next_bin)
+            fill += total
+            continue
+        else:
+            # max m with S[m] <= L - fill; window covers S <= L >= L - fill
+            jstar = max((p for p, (s, _, _) in b["win"].items() if s <= L - fill), default=0)
+        s, c, nb = b["win"][jstar]
+        plan[bkt] = (jstar, open_id, next_bin)
+        open_id = next_bin + nb - 1
+        next_bin += nb
+        fill = c
+
+    plan_b = spark.sparkContext.broadcast(plan)
+
+    def _assign(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_name)
+        bkt = int(pdf["_bkt"].iloc[0])
+        jstar, carried, first_new = plan_b.value[bkt]
+        sizes = pdf["n_toks"].tolist()
+        ids = pdf[id_name].tolist()
+        out = []
+        for i in range(min(jstar, len(ids))):
+            out.append((carried, ids[i], sizes[i]))
+        bin_id, f = first_new - 1, None
+        for i in range(jstar, len(ids)):
+            if f is None or f + sizes[i] > L:
+                bin_id += 1
+                f = 0
+            out.append((bin_id, ids[i], sizes[i]))
+            f += sizes[i]
+        return pd.DataFrame(out, columns=["seq_idx", id_name, "n_toks"])
+
+    return base.groupBy("_bkt").applyInPandas(
+        _assign, f"seq_idx long, {id_name} long, n_toks long"
+    )
+
+
 def mixture_sample_ratios(
     df: DataFrame,
     total_tokens: int,

@@ -1126,6 +1126,58 @@ def test_conversation_examples_token_budget(spark):
     assert mid[("c1", 3)] == "tool: a b\nuser: x"
 
 
+def _reference_nosplit_pack(sizes_by_id: list, L: int):
+    """Sequential greedy first-fit-in-order packer: the semantics
+    pack_sequences_nosplit must reproduce for any bucket count."""
+    out, bin_id, fill = {}, -1, None
+    for i, n in sizes_by_id:
+        if n <= 0 or n > L:
+            continue
+        if fill is None or fill + n > L:
+            bin_id += 1
+            fill = 0
+        out[i] = bin_id
+        fill += n
+    return out
+
+
+def test_pack_sequences_nosplit_matches_sequential_reference(spark):
+    """VERDICT r4 #6 / SURVEY §9.4: no-split first-fit packing equals the
+    sequential reference packer bit-for-bit, for several bucket counts
+    (partition-invariance is the whole point of the reconciliation) and
+    several size mixes; invariants: no doc split, no bin over capacity,
+    over-long docs dropped, bin ids dense in opening order."""
+    import random
+
+    from logspark.operators.textops import pack_sequences_nosplit
+
+    rng = random.Random(31)
+    cases = [
+        ("uniform", [rng.randint(1, 30) for _ in range(400)], 64),
+        ("big-and-small", [rng.choice([1, 2, 3, 60, 61]) for _ in range(300)], 64),
+        ("exact-fits", [32] * 100, 64),
+        ("with-overlong", [rng.randint(1, 120) for _ in range(200)], 64),
+        ("tiny", [5, 10], 64),
+    ]
+    for name, sizes, L in cases:
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        ref = _reference_nosplit_pack(list(enumerate(sizes)), L)
+        for P in (1, 3, 8):
+            got_rows = pack_sequences_nosplit(docs, seq_tokens=L, num_buckets=P).collect()
+            got = {r["doc_id"]: r["seq_idx"] for r in got_rows}
+            assert got == ref, (name, P)
+            per_bin: dict = {}
+            for r in got_rows:
+                assert r["n_toks"] == sizes[r["doc_id"]]  # no doc split
+                per_bin[r["seq_idx"]] = per_bin.get(r["seq_idx"], 0) + r["n_toks"]
+            assert all(v <= L for v in per_bin.values()), (name, P)
+            if per_bin:
+                assert set(per_bin) == set(range(max(per_bin) + 1)), (name, P)  # dense
+    with pytest.raises(ValueError, match="seq_tokens"):
+        pack_sequences_nosplit(spark.createDataFrame([(1, "a")], "doc_id bigint, text string"), 0)
+
+
 def test_conversation_examples_long_conversation_linear(spark):
     """VERDICT r4 #1: context is collected over the BOUNDED frame
     rowsBetween(-k, -1), so one 50k-turn conversation is O(T·k), not
