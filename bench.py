@@ -62,7 +62,45 @@ HEADLINE = [
     "pii_scrub",
     "chunk_documents",
     "mixture_sample",
+    "token_count_bpe",
 ]
+
+
+def _extra_bench_queries() -> dict:
+    """Timed-but-not-gated operators (VERDICT r4 #4): these have no
+    50-slot registry entry (pytest-gated instead), but regressions must
+    still show in the per-round bench. Same (spark, sf_dir) -> DataFrame
+    contract as logspark.queries.QUERIES."""
+    from logspark.operators import aggregates, multimodal, similarity, textops
+    from logspark.queries import _t
+
+    def cosine_topk_batch(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        return similarity.cosine_topk_batch(emb, [0, 7, 42, 101], k=10)
+
+    def sample_frames(spark, sf_dir):
+        media = multimodal.synth_media_df(spark, 2000)
+        return multimodal.sample_frames(media, frame_stride=200, max_frames=8, fake=True)
+
+    def approx_distinct(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return aggregates.approx_distinct(ev, ["event_type"], "user_id")
+
+    def approx_quantiles(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return aggregates.approx_quantiles(ev, ["event_type"], "value")
+
+    def pack_sequences_nosplit(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return textops.pack_sequences_nosplit(docs, seq_tokens=2048)
+
+    return {
+        "cosine_topk_batch": cosine_topk_batch,
+        "sample_frames": sample_frames,
+        "approx_distinct": approx_distinct,
+        "approx_quantiles": approx_quantiles,
+        "pack_sequences_nosplit": pack_sequences_nosplit,
+    }
 
 
 def time_queries(sf_dir: str) -> dict[str, float]:
@@ -71,8 +109,9 @@ def time_queries(sf_dir: str) -> dict[str, float]:
 
     spark = get_spark(app_name="logspark-bench")
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = QUERIES[name]
+    extra = _extra_bench_queries()
+    for name in HEADLINE + sorted(extra):
+        q = QUERIES[name] if name in QUERIES else extra[name]
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm plan/workers
         t0 = time.time()
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -150,11 +189,16 @@ def run_scaling(n_turns: int, n: int = 2) -> dict:
         runs[c].append(_run_level(c, n_turns))
     best = {c: min(rs, key=lambda r: r["seconds"]) for c, rs in runs.items()}
     eff = (best[fourn]["turns_per_sec"] / best[n]["turns_per_sec"]) / 4
-    # single-node peak: one all-cores run for the "matches-or-beats the
+    # single-node peak: all-cores runs for the "matches-or-beats the
     # reference's single-node throughput" comparison (the reference agent
-    # is single-process; it publishes no numbers, so ours IS the record)
+    # is single-process; it publishes no numbers, so ours IS the record).
+    # Best-of-k with raw seconds recorded, same protocol as the N/4N
+    # pairs — a single draw sits inside the host's ±35% co-tenant window
+    # and reads as a trend when it's noise (VERDICT r4 #7).
     max_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    peak = _run_level(max_cores, n_turns)
+    peak_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS_PEAK", "3"))
+    peak_runs = [_run_level(max_cores, n_turns) for _ in range(peak_repeats)]
+    peak = min(peak_runs, key=lambda r: r["seconds"])
     probe = _run_probe(n, fourn)
     out = {
         "turns": best[n]["rows"],
@@ -170,6 +214,7 @@ def run_scaling(n_turns: int, n: int = 2) -> dict:
         "peak_cores": max_cores,
         "peak_sec": peak["seconds"],
         "peak_turns_per_sec": peak["turns_per_sec"],
+        "peak_all_runs_sec": [r["seconds"] for r in peak_runs],
     }
     if probe.get("ceiling_efficiency"):
         out["efficiency_vs_hw_ceiling"] = round(eff / probe["ceiling_efficiency"], 3)
