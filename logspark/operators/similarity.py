@@ -390,6 +390,72 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus in IVF-cell-PARTITIONED layout: `ivf_assign`
+    then `partitionBy('cell')` — one directory per cell. This is how ANN
+    search I/O actually scales: the probe-cell filter becomes a STATIC
+    PARTITION FILTER at planning time, so a top-k query reads only its
+    nprobe cell directories — O(corpus/k x nprobe) bytes off storage
+    instead of O(corpus), with zero row-level filtering work. (On Iceberg
+    the same layout is `PARTITIONED BY (cell)`; the query path is
+    unchanged.) Pair with fixed offline centroids — re-training means
+    re-partitioning, so production pins the centroid table per index
+    generation (same discipline as streaming_embedding_near_dups)."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    assigned.write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k cosine search against a `write_ivf_index` layout. The query
+    vector scores the (tiny, driver-side) centroid table in numpy, the
+    `nprobe` best cells become an `isin` partition filter, and the scan
+    touches ONLY those cell directories (pruning asserted by the
+    inputFiles() pytest). The per-cell ranking is the same broadcast-free
+    narrow pass as `ivf_topk` — sims via the native left fold, rounded
+    6dp, (sim desc, id asc) tie-break."""
+    import numpy as np
+
+    c_rows = centroids.select("cell", "cvec").collect()
+    C = np.array([r["cvec"] for r in c_rows], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = (C @ q) / (
+        np.maximum(np.linalg.norm(C, axis=1), 1e-300) * max(np.linalg.norm(q), 1e-300)
+    )
+    order = sorted(range(len(c_rows)), key=lambda i: (-sims[i], c_rows[i]["cell"]))
+    probe_cells = [c_rows[i]["cell"] for i in order[:nprobe]]
+
+    scan = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+    if exclude_id is not None:
+        scan = scan.filter(F.col(id_col) != exclude_id)
+    dv = F.col(vec_col).cast("array<double>")
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        scan.select(
+            id_col,
+            F.round(_dot(dv, qv) / (_norm(dv) * _norm(qv)), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_assign_multi(
     df: DataFrame,
     centroids: DataFrame,

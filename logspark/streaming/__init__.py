@@ -13,6 +13,7 @@ from logspark.streaming.stateful import (
     streaming_exact_dedup,
     streaming_near_dup_candidates,
     streaming_sessionize,
+    streaming_sink_counts,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_near_dup_candidates",
     "streaming_sessionize",
+    "streaming_sink_counts",
 ]

@@ -58,6 +58,43 @@ def streaming_sessionize(
     )
 
 
+def streaming_sink_counts(
+    routed_stream: DataFrame,
+    watermark: str = "2 hours",
+    bucket_minutes: int = 60,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The A1 per-sink aggregate as a continuous event-time stream:
+    (sink, conv_id, bucket, n) over tumbling `bucket_minutes` windows with
+    late-data semantics — the native `withWatermark` + `window` form the
+    batch `sink_counts` maps to when the pipeline runs as a stream (the
+    foreach.py module docstring's promissory note, now real).
+
+    Semantics (pytest-pinned):
+    - a turn arriving ≤ `watermark` late still lands in its event-time
+      bucket (the window's state is held open that long);
+    - a turn later than the watermark is DROPPED — the price of bounded
+      state; the batch path over the full table is the backfill story;
+    - append output emits a (sink, conv_id, bucket) row exactly once,
+      when the watermark passes the bucket end — so downstream sinks see
+      finalized counts, never retractions. Buckets still open when the
+      stream idles stay unemitted until more data advances the watermark.
+
+    State is O(open windows x active (sink, conv) pairs in them) — bounded
+    by watermark horizon, not stream length. Input is the ROUTED stream
+    (route() applied inside the streaming DAG or a foreachBatch upstream)."""
+    return (
+        routed_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            "sink",
+            "conv_id",
+            F.window(F.col(ts_col), f"{bucket_minutes} minutes"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("sink", "conv_id", F.col("window.start").alias("bucket"), "n")
+    )
+
+
 DEDUP_OUT_DDL = "fingerprint string, keeper bigint, text string"
 DEDUP_STATE_DDL = "seen boolean"
 

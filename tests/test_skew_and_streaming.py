@@ -407,6 +407,78 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert set(got2) == {3, 7, 5}
 
 
+def test_streaming_sink_counts_watermark_semantics(spark, tmp_path):
+    """Event-time windowed per-sink counts with late data (§2.10): rows
+    within the watermark land in their event-time bucket across query
+    RESTARTS (state store carries open windows), rows later than the
+    watermark are dropped, and append mode emits each finalized bucket
+    exactly once. Final emitted set == batch sink_counts over exactly the
+    non-dropped rows in finalized buckets."""
+    import time
+    from datetime import datetime
+
+    from logspark.streaming import streaming_sink_counts
+
+    ddl = "sink string, conv_id string, ts timestamp"
+    ts = lambda h, m: datetime(2024, 3, 1, h, m)
+    in_dir, out_dir, ckpt = tmp_path / "in", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    def run_phase(rows, fname):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode("overwrite").parquet(
+            str(in_dir / fname)
+        )
+        stream = spark.readStream.schema(ddl).parquet(str(in_dir / "*"))
+        q = (
+            streaming_sink_counts(stream, watermark="2 hours", bucket_minutes=60)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        time.sleep(0.5)
+        return {
+            (r["sink"], r["conv_id"], r["bucket"].hour, r["n"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    p1 = [
+        ("parsed", "c1", ts(1, 10)),
+        ("parsed", "c1", ts(1, 20)),
+        ("raw", "c2", ts(2, 10)),
+        ("parsed", "c1", ts(5, 30)),  # watermark -> 03:30
+    ]
+    got1 = run_phase(p1, "f1")
+    # buckets ending before the 03:30 watermark are finalized
+    assert got1 >= {("parsed", "c1", 1, 2), ("raw", "c2", 2, 1)}
+    assert not any(b == 5 for _, _, b, _ in got1)  # 05:00 bucket still open
+
+    p2 = [
+        ("parsed", "c1", ts(1, 40)),  # LATE past watermark -> dropped
+        ("parsed", "c3", ts(2, 30)),  # LATE past watermark -> dropped
+        ("raw", "c2", ts(4, 45)),     # on time (ahead of watermark)
+        ("parsed", "c1", ts(9, 0)),   # watermark -> 07:00, finalizes 04/05
+    ]
+    got2 = run_phase(p2, "f2")  # restart on the same checkpoint
+
+    p3 = [("raw", "c2", ts(23, 0))]  # watermark -> 21:00, finalizes 09
+    got3 = run_phase(p3, "f3")
+    expected = {
+        ("parsed", "c1", 1, 2),
+        ("raw", "c2", 2, 1),
+        ("raw", "c2", 4, 1),
+        ("parsed", "c1", 5, 1),   # phase-1 row finalized after restart
+        ("parsed", "c1", 9, 1),
+    }
+    assert got1 <= got2 <= got3  # append only grows
+    assert got3 == expected
+    # the late rows are nowhere: c3 never appears, and bucket 1 stayed at 2
+    assert not any(c == "c3" for _, c, _, _ in got3)
+
+
 def test_dedup_agent_and_streaming_agree_on_verified_pairs(spark, tmp_path):
     """VERDICT r4 #9: the two continuous-dedup deployments converge. The
     same corpus, ingested file-by-file, through (a) the batch dedup agent

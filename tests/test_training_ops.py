@@ -928,6 +928,40 @@ def test_sample_frames_explodes_and_caps(spark):
         multimodal.sample_frames(media, fake=False).collect()
 
 
+def test_ivf_index_partition_pruned_search(spark, emb, tmp_path):
+    """write_ivf_index persists the corpus partitioned by IVF cell;
+    ivf_topk_indexed's probe-cell isin becomes a STATIC partition filter,
+    so the scan touches only nprobe of the cell directories (the 100 TB
+    I/O story — asserted via inputFiles), while returning exactly the
+    same top-k as the in-memory ivf_topk on the same centroids."""
+    import os
+
+    cents = similarity.head_centroids(emb, 6)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, cents, path)
+    on_disk = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert len(on_disk) >= 3  # multiple cells materialized
+
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    got = similarity.ivf_topk_indexed(
+        spark, path, cents, qvec, nprobe=2, k=10, exclude_id=0
+    )
+    ref = similarity.ivf_topk(emb, query_id=0, n_anchors=6, nprobe=2, k=10)
+    assert [(r["vec_id"], r["sim"]) for r in got.collect()] == [
+        (r["vec_id"], r["sim"]) for r in ref.collect()
+    ]
+    # partition pruning: the probe-cell isin is a STATIC PartitionFilter
+    # in the executed plan (inputFiles() reports the pre-pruning relation,
+    # so inspect the plan itself)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) == 2  # exactly nprobe cells scanned
+    assert len(on_disk) > 2  # i.e. pruning actually skipped directories
+
+
 def test_ann_recall_trained_centroids_meets_floor(spark, emb):
     """VERDICT r4 #8: the RECOMMENDED production IVF config — centroids
     from the deterministic k-means (train_ivf_centroids), not the
