@@ -306,6 +306,10 @@ def pack_sequences_nosplit(
     )
 
     id_name = id_col
+    # the id can be any orderable type (bigint doc ids, string composite
+    # keys, ...) — range partitioning, pandas sort_values, and the output
+    # schema all follow the input's type
+    id_type = base.schema[id_name].dataType.simpleString()
 
     def _summarize(pdf):
         import numpy as np
@@ -396,7 +400,62 @@ def pack_sequences_nosplit(
         return pd.DataFrame(out, columns=["seq_idx", id_name, "n_toks"])
 
     return base.groupBy("_bkt").applyInPandas(
-        _assign, f"seq_idx long, {id_name} long, n_toks long"
+        _assign, f"seq_idx long, {id_name} {id_type}, n_toks long"
+    )
+
+
+def sft_batches(
+    transcripts: DataFrame,
+    seq_tokens: int,
+    target_role: str = "assistant",
+    max_context_turns: int = 8,
+    max_context_tokens: int | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Transcripts → PACKED SFT batches, the end-to-end composition a
+    fine-tuning data pipeline actually runs: `conversation_examples`
+    assembles one (context, target) example per `target_role` turn, each
+    example costs its whitespace-token length (context + target — the
+    tokens a trainer feeds), and `pack_sequences_nosplit` first-fit packs
+    WHOLE examples into `seq_tokens`-capacity batches in deterministic
+    (conv_id, turn_idx) order. Examples longer than a batch are dropped
+    by the packer (they cannot fit un-split; budget them away upstream
+    with `max_context_tokens`).
+
+    Output: (seq_idx, conv_id, turn_idx, n_toks). The packing key is a
+    lexicographic composite string conv_id\\x01zero-padded-turn — order-
+    equal to (conv_id, turn_idx) without a join to recover the keys.
+    One narrow plan end-to-end: the examples window shuffles by conv_id,
+    the packer range-shuffles by the composite key; everything else is
+    map-side."""
+    from logspark.operators.aggregates import conversation_examples
+
+    ex = conversation_examples(
+        transcripts,
+        target_role=target_role,
+        max_context_turns=max_context_turns,
+        max_context_tokens=max_context_tokens,
+    )
+    keyed = ex.select(
+        F.concat_ws(
+            "\x01",
+            F.col("conv_id"),
+            F.lpad(F.col("turn_idx").cast("string"), 9, "0"),
+        ).alias("example_id"),
+        F.concat_ws("\n", F.col("context"), F.col("target")).alias("example_text"),
+    )
+    packed = pack_sequences_nosplit(
+        keyed,
+        seq_tokens,
+        id_col="example_id",
+        text_col="example_text",
+        num_buckets=num_buckets,
+    )
+    return packed.select(
+        "seq_idx",
+        F.substring_index(F.col("example_id"), "\x01", 1).alias("conv_id"),
+        F.substring_index(F.col("example_id"), "\x01", -1).cast("int").alias("turn_idx"),
+        "n_toks",
     )
 
 

@@ -1192,6 +1192,45 @@ def test_conversation_examples_token_budget(spark):
     assert mid[("c1", 3)] == "tool: a b\nuser: x"
 
 
+def test_sft_batches_composition(spark):
+    """sft_batches = conversation_examples ∘ pack_sequences_nosplit: every
+    example packs whole into a batch in (conv_id, turn_idx) order, batch
+    fills never exceed seq_tokens, and the batch assignment equals the
+    sequential reference packer run over the collected examples."""
+    from logspark.operators.aggregates import conversation_examples
+    from logspark.operators.textops import sft_batches
+
+    rows = []
+    for c in range(6):
+        conv = f"c{c}"
+        for t in range(12):
+            role = "assistant" if t % 2 == 1 else "user"
+            rows.append((conv, t, role, f"{conv} turn {t} " + " ".join(["w"] * (3 + (t * 7 + c) % 9))))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    L = 64
+    got_rows = sft_batches(df, seq_tokens=L, max_context_turns=4).collect()
+    got = {(r["conv_id"], r["turn_idx"]): r["seq_idx"] for r in got_rows}
+
+    ex = conversation_examples(df, max_context_turns=4).collect()
+    ex.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
+    sizes = [
+        ((r["conv_id"], r["turn_idx"]), len((r["context"] + "\n" + r["target"]).split(" ")))
+        for r in ex
+    ]
+    ref = _reference_nosplit_pack(sizes, L)
+    assert got == ref and got
+    fills: dict = {}
+    for r in got_rows:
+        fills[r["seq_idx"]] = fills.get(r["seq_idx"], 0) + r["n_toks"]
+    assert all(v <= L for v in fills.values())
+    # partition-invariant like the underlying packer
+    got2 = {
+        (r["conv_id"], r["turn_idx"]): r["seq_idx"]
+        for r in sft_batches(df, seq_tokens=L, max_context_turns=4, num_buckets=3).collect()
+    }
+    assert got2 == got
+
+
 def _reference_nosplit_pack(sizes_by_id: list, L: int):
     """Sequential greedy first-fit-in-order packer: the semantics
     pack_sequences_nosplit must reproduce for any bucket count."""
