@@ -130,18 +130,31 @@ def watch_dedup(
     sink_root: str,
     interval_s: float = 30.0,
     max_iterations: int | None = None,
+    compact_every: int | None = 64,
     **tick_kwargs,
 ) -> list[dict]:
     """Continuous agent loop around `dedup_tick` — the dedup analogue of
     plans.pipeline.watch: poll for new input files every `interval_s`,
     ingest + pair + commit per tick. `max_iterations` bounds the loop for
-    tests; None tails forever like the reference agent."""
+    tests; None tails forever like the reference agent.
+
+    `compact_every`: once the SignatureStore accumulates that many run
+    directories, fold them into one (`SignatureStore.compact` — the
+    small-files defense; a year of hourly ticks is ~10k directories whose
+    listings start to dominate every load). Compaction preserves the
+    per-file ingestion provenance the crash-replay key depends on, and
+    runs under the same WriterLock as ticks so it cannot race a commit.
+    None disables."""
     import time
 
     results: list[dict] = []
     i = 0
     while max_iterations is None or i < max_iterations:
         results.append(dedup_tick(spark, io, table, sink_root, **tick_kwargs))
+        store = SignatureStore(os.path.join(sink_root, "sigstore"))
+        if compact_every is not None and len(store.committed_runs()) >= compact_every:
+            with WriterLock(sink_root):
+                store.compact(spark)
         i += 1
         if max_iterations is None or i < max_iterations:
             time.sleep(interval_s)

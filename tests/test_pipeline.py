@@ -588,6 +588,53 @@ def test_dedup_tick_verify_scan_pruned(spark, tmp_path):
     assert any("f2.parquet" in f for f in r2["corpus_files"])  # pending file scanned
 
 
+def test_watch_dedup_compaction_preserves_provenance(spark, tmp_path):
+    """watch_dedup's compact_every folds the store's run dirs into one
+    WITHOUT losing the per-file ingestion provenance — a post-compaction
+    tick still sees earlier files as ingested (no duplicate signatures)
+    and the cumulative pair set still equals the one-shot whole corpus."""
+    import os
+
+    import pandas as pd
+
+    from logspark.operators import dedup
+    from logspark.plans import dedup_agent
+    from logspark.sources.tableio import ParquetIO
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    batches = [
+        [(1, base), (2, base + " today")],
+        [(3, base + " yesterday")],
+        [(4, base + " tomorrow")],
+    ]
+    tbl = tmp_path / "in" / "docs.parquet"
+    tbl.mkdir(parents=True)
+    io = ParquetIO(str(tmp_path / "in"))
+    sink = str(tmp_path / "agent")
+    for i, rows in enumerate(batches):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(tbl / f"f{i}.parquet")
+        dedup_agent.watch_dedup(
+            spark, io, "docs", sink, interval_s=0.01, max_iterations=1, compact_every=2
+        )
+    store = dedup.SignatureStore(os.path.join(sink, "sigstore"))
+    assert len(store.committed_runs()) < 3  # compaction actually fired
+    assert len(store.committed_files()) == 3  # provenance survived
+    assert store.files_complete()
+    sigs = store.load(spark).groupBy("doc_id").count().collect()
+    assert all(r["count"] == 1 for r in sigs) and len(sigs) == 4
+    corpus = spark.createDataFrame([r for b in batches for r in b], "doc_id bigint, text string")
+    whole = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard(
+            corpus,
+            threshold=0.5,
+            candidates=dedup.lsh_candidates(dedup.minhash_signatures(corpus)),
+        ).collect()
+    }
+    got = {(r["a"], r["b"]) for r in dedup_agent.all_pairs(spark, sink).collect()}
+    assert got == whole and whole
+
+
 def test_watch_dedup_loop(spark, tmp_path):
     """watch_dedup polls and ticks: first iteration ingests the pending
     file, second is a no-op (nothing new)."""
