@@ -745,11 +745,17 @@ class SignatureStore:
         return all(r in idx["files"] for r in idx["runs"])
 
     def append(
-        self, sigs: DataFrame, run_id: str, input_files: list[str] | None = None
+        self,
+        sigs: DataFrame,
+        run_id: str,
+        input_files: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> None:
         """Write-then-commit: parquet first, index rename second.
         `input_files` records which source files this run's signatures came
-        from (feeds `committed_files()` for per-file crash replay)."""
+        from (feeds `committed_files()` for per-file crash replay).
+        `partition_by` lays the run out partitioned (e.g. by IVF cell, so
+        loads filtered on the partition key prune whole directories)."""
         import os
 
         if not run_id:
@@ -757,11 +763,16 @@ class SignatureStore:
         if run_id in self.committed_runs():
             raise ValueError(f"signature run {run_id!r} already committed")
         path = os.path.join(self.root, "runs", run_id)
-        sigs.write.mode("overwrite").parquet(path)
+        w = sigs.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         idx = self._read_index()
         idx["runs"] = idx["runs"] + [run_id]
         if input_files:
             idx["files"][run_id] = sorted(input_files)
+        if partition_by:
+            idx["partition_by"] = list(partition_by)
         self._write_index(idx)
 
     def load(self, spark) -> DataFrame | None:
@@ -774,6 +785,22 @@ class SignatureStore:
         return spark.read.parquet(
             *[os.path.join(self.root, "runs", r) for r in runs]
         )
+
+    def load_runs_union(self, spark) -> DataFrame | None:
+        """Per-run scans unioned by name — the load for PARTITIONED runs:
+        multi-path partition discovery chokes on the non-k=v run-dir
+        segment between the common root and the cell=N directories, while
+        one scan per run keeps its own partition column AND its own
+        partition pruning (a cell filter above the union prunes
+        directories in every branch)."""
+        import functools
+        import os
+
+        runs = self.committed_runs()
+        if not runs:
+            return None
+        dfs = [spark.read.parquet(os.path.join(self.root, "runs", r)) for r in runs]
+        return functools.reduce(lambda a, b: a.unionByName(b), dfs)
 
     def compact(self, spark) -> None:
         """Fold every committed run into ONE compacted run — the
@@ -794,13 +821,17 @@ class SignatureStore:
         runs = self.committed_runs()
         if len(runs) > 1:
             cid = "compact-" + hashlib.md5("\n".join(runs).encode()).hexdigest()[:12]
-            self.load(spark).write.mode("overwrite").parquet(
-                os.path.join(self.root, "runs", cid)
-            )
+            part = self._read_index().get("partition_by")
+            w = self.load(spark).write.mode("overwrite")
+            if part:
+                w = w.partitionBy(*part)
+            w.parquet(os.path.join(self.root, "runs", cid))
             # fold the per-run file provenance into the compacted run so
             # committed_files() survives compaction
             all_files = sorted(self.committed_files())
             idx = {"runs": [cid], "files": {cid: all_files} if all_files else {}}
+            if part:
+                idx["partition_by"] = part
             self._write_index(idx)
         # sweep anything the index no longer references
         live = set(self.committed_runs())

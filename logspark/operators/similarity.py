@@ -456,6 +456,84 @@ def ivf_topk_indexed(
     )
 
 
+def incremental_ivf_near_dups(
+    store,
+    new_vecs: DataFrame,
+    centroids: DataFrame,
+    run_id: str | None,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+    input_files: list[str] | None = None,
+    replay: bool = False,
+) -> DataFrame:
+    """Verified embedding near-dup pairs INVOLVING the new batch, against
+    a persistent CELL-PARTITIONED vector store — the embedding sibling of
+    `dedup.incremental_near_dup_pairs`, with storage-level pruning: the
+    store scan is filtered to the cells the new batch touches, so each
+    incremental run reads O(|batch| x nprobe x cell-size) bytes off the
+    store, not the whole history (PartitionFilters asserted in pytest).
+
+    `store` is a `dedup.SignatureStore` holding multi-probe (id, vec,
+    cell) rows appended with `partition_by=['cell']`. Centroids must be
+    FIXED across the store's lifetime (same discipline as
+    `streaming_embedding_near_dups` — a drifting assignment splits cells
+    across time; re-training means a new store generation).
+
+    Guarantee (max_bucket=None): union of per-run pairs over incremental
+    ingestion == one-shot `ivf_near_dups` with the same centroids —
+    every pair is emitted by the run ingesting its later member, sims
+    bit-identical (the dot fold is operand-order symmetric). With
+    max_bucket SET the cap is evaluated per run on partial cells, so
+    capped runs can diverge from the one-shot capped result in either
+    direction (same caveat as the MinHash path). `replay=True` (with the
+    caller holding per-file provenance, run_id=None) recomputes a
+    crashed run's pairs without re-appending."""
+    spark = new_vecs.sparkSession
+    from logspark.operators.dedup import cap_buckets
+
+    m_new = ivf_assign_multi(new_vecs, centroids, nprobe, id_col, vec_col)
+    m_new = m_new.localCheckpoint(eager=True)
+    cells = [r["cell"] for r in m_new.select("cell").distinct().collect()]
+    old = store.load_runs_union(spark)
+
+    if replay:
+        if old is None or (run_id is not None and run_id not in store.committed_runs()):
+            raise ValueError(
+                f"replay=True but run {run_id!r} is not committed in the store"
+            )
+        all_m = old.filter(F.col("cell").isin(cells))
+    else:
+        old_pruned = None if old is None else old.filter(F.col("cell").isin(cells))
+        all_m = m_new if old_pruned is None else old_pruned.unionByName(m_new)
+    all_m = cap_buckets(all_m, max_bucket, keys=("cell",))
+
+    l = m_new.select(
+        F.col(id_col).alias("_na"), F.col(vec_col).cast("array<double>").alias("_nv"), "cell"
+    )
+    r = all_m.select(
+        F.col(id_col).alias("_ob"), F.col(vec_col).cast("array<double>").alias("_ov"), "cell"
+    )
+    va = F.when(F.col("_na") < F.col("_ob"), F.col("_nv")).otherwise(F.col("_ov"))
+    vb = F.when(F.col("_na") < F.col("_ob"), F.col("_ov")).otherwise(F.col("_nv"))
+    pairs = (
+        l.join(r, "cell")
+        .filter(F.col("_na") != F.col("_ob"))
+        .select(
+            F.least("_na", "_ob").alias("a"),
+            F.greatest("_na", "_ob").alias("b"),
+            F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )
+    if not replay:
+        store.append(m_new, run_id, input_files=input_files, partition_by=["cell"])
+    return pairs
+
+
 def ivf_assign_multi(
     df: DataFrame,
     centroids: DataFrame,

@@ -928,6 +928,61 @@ def test_sample_frames_explodes_and_caps(spark):
         multimodal.sample_frames(media, fake=False).collect()
 
 
+def test_incremental_ivf_near_dups_equals_one_shot(spark, emb, tmp_path):
+    """Embedding sibling of the incremental MinHash guarantee: vectors
+    ingested batch-by-batch into a cell-partitioned store yield, as the
+    union of per-run pairs, EXACTLY the one-shot ivf_near_dups pair set
+    (same fixed centroids, sims bit-identical); the store scan is pruned
+    to the new batch's cells (PartitionFilters in the plan); replay
+    recomputes a run's pairs without re-appending."""
+    from logspark.operators.dedup import SignatureStore
+
+    C = similarity.head_centroids(emb, 6).localCheckpoint(eager=True)
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    batches = [
+        emb.filter(F.col("vec_id") <= cuts[0]),
+        emb.filter((F.col("vec_id") > cuts[0]) & (F.col("vec_id") <= cuts[1])),
+        emb.filter(F.col("vec_id") > cuts[1]),
+    ]
+    store = SignatureStore(str(tmp_path / "vstore"))
+    got: set = set()
+    per_run: list[set] = []
+    for i, b in enumerate(batches):
+        p = {
+            (r["a"], r["b"], r["sim"])
+            for r in similarity.incremental_ivf_near_dups(
+                store, b, C, run_id=f"r{i}", threshold=0.35
+            ).collect()
+        }
+        per_run.append(p)
+        got |= p
+    one = {
+        (r["a"], r["b"], r["sim"])
+        for r in similarity.ivf_near_dups(emb, threshold=0.35, centroids=C).collect()
+    }
+    assert got == one and one  # non-vacuous, sims bit-identical
+
+    # storage-level pruning: a cell filter over the partitioned store
+    # becomes a PartitionFilter in every run's scan branch
+    import re
+
+    scan = store.load_runs_union(spark).filter(F.col("cell").isin([0, 1]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"PartitionFilters: \[cell#\d+ IN \(0,1\)\]", plan)) == 3
+
+    # crash replay: same pairs, no duplicate vectors in the store
+    p2 = {
+        (r["a"], r["b"], r["sim"])
+        for r in similarity.incremental_ivf_near_dups(
+            store, batches[2], C, run_id="r2", replay=True, threshold=0.35
+        ).collect()
+    }
+    assert p2 == per_run[2]
+    rows = store.load_runs_union(spark).groupBy("vec_id", "cell").count().collect()
+    assert all(r["count"] == 1 for r in rows)
+
+
 def test_ivf_index_partition_pruned_search(spark, emb, tmp_path):
     """write_ivf_index persists the corpus partitioned by IVF cell;
     ivf_topk_indexed's probe-cell isin becomes a STATIC partition filter,
