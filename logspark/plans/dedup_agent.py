@@ -123,6 +123,96 @@ def dedup_tick(
         }
 
 
+def _pin_centroids(spark, sink_root: str, centroids, first_batch, n_cells: int):
+    """Centroids must be FIXED for the store's lifetime (a drifting
+    assignment splits cells across time), so the FIRST tick persists them
+    under the sink root and every later tick — any process, any restart —
+    reads the pinned copy back. Re-training means a new store generation."""
+    from logspark.operators.similarity import head_centroids
+
+    path = os.path.join(sink_root, "centroids")
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    c = head_centroids(first_batch, n_cells) if centroids is None else centroids
+    c.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def embed_dedup_tick(
+    spark: SparkSession,
+    io: ParquetIO,
+    table: str,
+    sink_root: str,
+    centroids=None,
+    n_cells: int = 6,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+) -> dict:
+    """One EMBEDDING dedup agent tick — the vector sibling of
+    `dedup_tick`: manifest-pending files → `incremental_ivf_near_dups`
+    against the cell-partitioned vector store → pairs under
+    runs/<rid>/pairs → manifest commit, all under the writer lock, with
+    the same PER-FILE crash replay key (store provenance, not run-set
+    hashes). Unlike the MinHash tick there is NO corpus re-read at all:
+    the store carries the vectors, and its scan is pruned to the new
+    batch's cells. Union-of-ticks == one-shot `ivf_near_dups` on the
+    pinned centroids (the incremental guarantee, max_bucket=None)."""
+    from logspark.operators.similarity import incremental_ivf_near_dups
+
+    with WriterLock(sink_root):
+        all_files = io.input_files(spark, table)
+        manifest = mf.load_manifest(sink_root)
+        pending = mf.pending_files(all_files, manifest)
+        if not pending:
+            return {"run_id": None, "new_files": [], "n_pairs": 0}
+        rid = "e-" + hashlib.md5("\n".join(sorted(pending)).encode()).hexdigest()[:12]
+        store = SignatureStore(os.path.join(sink_root, "vstore"))
+        ingested = store.committed_files()
+        already = sorted(f for f in pending if f in ingested)
+        fresh = sorted(f for f in pending if f not in ingested)
+        cents = _pin_centroids(
+            spark, sink_root, centroids, io.read_files(spark, table, pending), n_cells
+        )
+        parts = []
+        if already:
+            parts.append(
+                incremental_ivf_near_dups(
+                    store,
+                    io.read_files(spark, table, already),
+                    cents,
+                    run_id=None,
+                    threshold=threshold,
+                    nprobe=nprobe,
+                    replay=True,
+                )
+            )
+        if fresh:
+            parts.append(
+                incremental_ivf_near_dups(
+                    store,
+                    io.read_files(spark, table, fresh),
+                    cents,
+                    run_id=rid,
+                    threshold=threshold,
+                    nprobe=nprobe,
+                    input_files=fresh,
+                )
+            )
+        pairs = parts[0]
+        for p in parts[1:]:
+            pairs = pairs.unionByName(p).dropDuplicates(["a", "b"])
+        out = os.path.join(sink_root, "runs", rid, "pairs")
+        pairs.write.mode("overwrite").parquet(out)
+        n_pairs = spark.read.parquet(out).count()
+        mf.commit_run(sink_root, mf.RunRecord(run_id=rid, input_files=pending))
+        return {
+            "run_id": rid,
+            "new_files": pending,
+            "n_pairs": n_pairs,
+            "replayed_files": already,
+        }
+
+
 def watch_dedup(
     spark: SparkSession,
     io: ParquetIO,

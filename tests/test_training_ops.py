@@ -983,6 +983,55 @@ def test_incremental_ivf_near_dups_equals_one_shot(spark, emb, tmp_path):
     assert all(r["count"] == 1 for r in rows)
 
 
+def test_embed_dedup_agent_ticks_equal_one_shot(spark, emb, tmp_path):
+    """Continuous EMBEDDING dedup agent: vector files arriving across
+    ticks yield exactly the one-shot ivf_near_dups pair set on the pinned
+    centroids; a crash between store and manifest commit with a NEW file
+    arriving before retry replays per-file (no duplicate vectors); the
+    centroids pinned by tick 1 are reused verbatim by later ticks."""
+    import os
+
+    from logspark.operators.dedup import SignatureStore
+    from logspark.plans import dedup_agent
+    from logspark.sources import manifest as mf
+    from logspark.sources.tableio import ParquetIO
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    n = len(pdf)
+    chunks = [pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :]]
+    tbl = tmp_path / "in" / "vecs.parquet"
+    tbl.mkdir(parents=True)
+    io = ParquetIO(str(tmp_path / "in"))
+    sink = str(tmp_path / "eagent")
+
+    chunks[0].to_parquet(tbl / "f0.parquet")
+    r0 = dedup_agent.embed_dedup_tick(spark, io, "vecs", sink, threshold=0.35)
+    assert r0["run_id"]
+
+    # tick 2 "crashes" after the store commit: drop its manifest entry
+    chunks[1].to_parquet(tbl / "f1.parquet")
+    r1 = dedup_agent.embed_dedup_tick(spark, io, "vecs", sink, threshold=0.35)
+    m = mf.load_manifest(sink)
+    mf.save_manifest(sink, mf.Manifest(runs=[r for r in m.runs if r.run_id != r1["run_id"]]))
+
+    chunks[2].to_parquet(tbl / "f2.parquet")  # new arrival before retry
+    r2 = dedup_agent.embed_dedup_tick(spark, io, "vecs", sink, threshold=0.35)
+    assert r2["run_id"] != r1["run_id"]
+    assert any(f.endswith("f1.parquet") for f in r2["replayed_files"])
+
+    store = SignatureStore(os.path.join(sink, "vstore"))
+    rows = store.load_runs_union(spark).groupBy("vec_id", "cell").count().collect()
+    assert all(r["count"] == 1 for r in rows)  # replay never re-appended
+
+    pinned = spark.read.parquet(os.path.join(sink, "centroids"))
+    one = {
+        (r["a"], r["b"])
+        for r in similarity.ivf_near_dups(emb, threshold=0.35, centroids=pinned).collect()
+    }
+    got = {(r["a"], r["b"]) for r in dedup_agent.all_pairs(spark, sink).collect()}
+    assert got == one and one
+
+
 def test_ivf_index_partition_pruned_search(spark, emb, tmp_path):
     """write_ivf_index persists the corpus partitioned by IVF cell;
     ivf_topk_indexed's probe-cell isin becomes a STATIC partition filter,
