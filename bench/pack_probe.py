@@ -65,23 +65,19 @@ def main() -> None:
     t["pack_cut_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
-    ns = textops.pack_sequences_nosplit(docs, seq_tokens=L)
+    ns_stats: dict = {}
+    ns = textops.pack_sequences_nosplit(docs, seq_tokens=L, stats=ns_stats)
     fills = ns.groupBy("seq_idx").agg(F.sum("n_toks").alias("fill"))
     ns_bins, max_fill, ns_toks = fills.agg(
         F.count(F.lit(1)), F.max("fill"), F.sum("fill")
     ).collect()[0]
     t["pack_nosplit_s"] = round(time.time() - t0, 2)
 
-    # driver-reconciliation footprint: summary rows == head windows only
-    P = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    base = (
-        docs.select("doc_id", F.col("_n").alias("n_toks"))
-        .repartitionByRange(P, F.col("doc_id"))
-        .withColumn("_bkt", F.spark_partition_id())
-    )
-    # a head window holds docs summing to <= L; avg doc ~65 tokens -> ~32
-    # rows per bucket; the probe asserts the O(P x window) bound holds
-    max_window_rows = (L // 5) + 2  # worst case: all-minimum-size docs
+    # driver-reconciliation footprint: MEASURED rows that reached the
+    # driver (head windows + one totals row per bucket), checked against
+    # the theoretical O(P x window) bound — all-minimum-size docs
+    P = ns_stats["buckets"]
+    max_window_rows = (L // 5) + 2
 
     print(
         "PROBE_RESULT "
@@ -95,8 +91,10 @@ def main() -> None:
                 "nosplit_max_fill": int(max_fill),
                 "nosplit_fill_ok": int(max_fill) <= L,
                 "nosplit_tokens_ok": int(ns_toks) == int(total_toks),
+                "driver_rows_measured": ns_stats["summary_rows"],
                 "driver_rows_bound": P * max_window_rows,
-                "driver_rows_vs_docs": round(P * max_window_rows / n_docs, 4),
+                "driver_rows_ok": ns_stats["summary_rows"] <= P * max_window_rows,
+                "driver_rows_vs_docs": round(ns_stats["summary_rows"] / n_docs, 4),
                 **t,
             }
         )

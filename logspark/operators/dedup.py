@@ -740,8 +740,14 @@ class SignatureStore:
         """True when every committed run recorded its input files — i.e.
         committed_files() is a complete provenance map and callers may
         prune corpus scans to it. Legacy runs appended without
-        `input_files` make it False."""
+        `input_files` make it False — and compaction PRESERVES that
+        incompleteness (`legacy_incomplete` marker): folding runs must
+        not fabricate provenance the legacy runs never had, or the
+        verify-scan fallback in dedup_tick would silently drop the
+        legacy files' texts."""
         idx = self._read_index()
+        if idx.get("legacy_incomplete"):
+            return False
         return all(r in idx["files"] for r in idx["runs"])
 
     def append(
@@ -822,16 +828,24 @@ class SignatureStore:
         if len(runs) > 1:
             cid = "compact-" + hashlib.md5("\n".join(runs).encode()).hexdigest()[:12]
             part = self._read_index().get("partition_by")
-            w = self.load(spark).write.mode("overwrite")
+            # per-run union, NOT the multi-path self.load(): partitioned
+            # run dirs make spark.read.parquet(run1, run2, ...) throw
+            # CONFLICTING_DIRECTORY_STRUCTURES (the run-dir segment sits
+            # between the common root and the cell=N directories)
+            w = self.load_runs_union(spark).write.mode("overwrite")
             if part:
                 w = w.partitionBy(*part)
             w.parquet(os.path.join(self.root, "runs", cid))
             # fold the per-run file provenance into the compacted run so
-            # committed_files() survives compaction
+            # committed_files() survives compaction — but keep the
+            # incompleteness marker if any folded run predates provenance
+            complete_before = self.files_complete()
             all_files = sorted(self.committed_files())
             idx = {"runs": [cid], "files": {cid: all_files} if all_files else {}}
             if part:
                 idx["partition_by"] = part
+            if not complete_before:
+                idx["legacy_incomplete"] = True
             self._write_index(idx)
         # sweep anything the index no longer references
         live = set(self.committed_runs())

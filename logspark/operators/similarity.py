@@ -106,23 +106,32 @@ def cosine_topk_batch(
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             S = Vn @ Qn.T  # (n, |Q|)
+            from logspark.functions.rounding import round_half_up6
+
             out_q, out_id, out_s = [], [], []
             for j, qid in enumerate(qids):
-                sims = np.round(S[:, j], 6)  # round BEFORE selecting: the
-                # local cut must use the same (rounded sim desc, id asc)
-                # total order as the global window, or a tie at the k
-                # boundary can evict a true top-k member (ADVICE r4)
+                # Two-stage local cut. Stage 1 ranks on np.round (fast,
+                # half-even) with ONE-DECIMAL-ULP SLACK at the boundary;
+                # stage 2 re-rounds only the O(k + ties) candidates with
+                # the exact HALF_UP helper — bit-identical to the F.round
+                # that cosine_topk and the global window use, so the local
+                # order can never disagree with the global one, even at
+                # 6dp half boundaries where np.round and F.round diverge
+                # (ADVICE r4 + r5 review; |np.round - HALF_UP| <= 1e-6,
+                # so the slack provably covers every divergent candidate).
+                sims = np.round(S[:, j], 6)
                 sims[ids == qid] = -np.inf  # exclude self
                 kk = min(k, len(sims))
                 cut = np.argpartition(-sims, kk - 1)[:kk]
-                t = sims[cut].min()  # kk-th largest rounded sim
-                cand = np.nonzero(sims >= t)[0]  # all tie-equivalents at the cut
-                order = np.lexsort((ids[cand], -sims[cand]))  # sim desc, id asc
-                for i in cand[order[:kk]]:
-                    if np.isfinite(sims[i]):
-                        out_q.append(qid)
-                        out_id.append(int(ids[i]))
-                        out_s.append(float(sims[i]))
+                t = sims[cut].min()  # ~kk-th largest approximate sim
+                cand = np.nonzero(np.isfinite(sims) & (sims >= t - 1e-6))[0]
+                exact = np.array([round_half_up6(S[i, j]) for i in cand])
+                order = np.lexsort((ids[cand], -exact))  # sim desc, id asc
+                for pos in order[:kk]:
+                    i = cand[pos]
+                    out_q.append(qid)
+                    out_id.append(int(ids[i]))
+                    out_s.append(float(exact[pos]))
             yield pd.DataFrame(
                 {"query_id": pd.Series(out_q, dtype="int64"),
                  id_col: pd.Series(out_id, dtype="int64"),

@@ -254,6 +254,7 @@ def pack_sequences_nosplit(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """No-split first-fit sequence packing (SURVEY §9.4): docs in `id_col`
     order are packed greedily into bins of capacity `seq_tokens` — a doc
@@ -344,6 +345,11 @@ def pack_sequences_nosplit(
         .applyInPandas(_summarize, "bkt int, p long, s long, c long, nb long")
         .collect()
     )
+    if stats is not None:
+        # observability for the scale claim: rows that actually reached
+        # the driver (head windows + totals rows), measured not derived
+        stats["summary_rows"] = len(summary)
+        stats["buckets"] = P
     by_bkt: dict[int, dict] = {}
     for r in summary:
         b = by_bkt.setdefault(r["bkt"], {"win": {}, "n": 0, "total": 0})
@@ -424,7 +430,12 @@ def sft_batches(
 
     Output: (seq_idx, conv_id, turn_idx, n_toks). The packing key is a
     lexicographic composite string conv_id\\x01zero-padded-turn — order-
-    equal to (conv_id, turn_idx) without a join to recover the keys.
+    equal to (conv_id, turn_idx) without a join to recover the keys; the
+    keys are recovered by FIXED-WIDTH slicing from the right, so a
+    conv_id that itself contains the separator byte round-trips intact
+    (its position in the packing order then follows the composite
+    string, which is still a deterministic total order). turn_idx is
+    int32, so the 12-digit pad can never truncate.
     One narrow plan end-to-end: the examples window shuffles by conv_id,
     the packer range-shuffles by the composite key; everything else is
     map-side."""
@@ -436,11 +447,12 @@ def sft_batches(
         max_context_turns=max_context_turns,
         max_context_tokens=max_context_tokens,
     )
+    pad = 12  # turn_idx is int32 (<= 10 digits) — no lpad truncation
     keyed = ex.select(
         F.concat_ws(
             "\x01",
             F.col("conv_id"),
-            F.lpad(F.col("turn_idx").cast("string"), 9, "0"),
+            F.lpad(F.col("turn_idx").cast("string"), pad, "0"),
         ).alias("example_id"),
         F.concat_ws("\n", F.col("context"), F.col("target")).alias("example_text"),
     )
@@ -451,10 +463,13 @@ def sft_batches(
         text_col="example_text",
         num_buckets=num_buckets,
     )
+    eid = F.col("example_id")
     return packed.select(
         "seq_idx",
-        F.substring_index(F.col("example_id"), "\x01", 1).alias("conv_id"),
-        F.substring_index(F.col("example_id"), "\x01", -1).cast("int").alias("turn_idx"),
+        # fixed-width slice from the right: separator bytes inside
+        # conv_id cannot corrupt the recovered keys
+        F.expr(f"substring(example_id, 1, length(example_id) - {pad + 1})").alias("conv_id"),
+        F.substring(eid, -pad, pad).cast("int").alias("turn_idx"),
         "n_toks",
     )
 
@@ -845,21 +860,41 @@ def train_bpe_merges(
         .limit(max_words)
         .collect()
     )
-    vocab: dict[tuple[str, ...], int] = {tuple(r["w"]): r["c"] for r in rows}
+    # Incremental pair-count maintenance (the subword-nmt trick): a merge
+    # only changes counts for WORDS CONTAINING the merged pair, so each
+    # iteration touches that subset instead of recounting the whole vocab
+    # — near-linear total work vs O(n_merges x total-symbols) for the
+    # naive recount (r5 review; ~10^9 driver dict ops at the documented
+    # defaults). Exactly the same counts, so the same deterministic table.
+    words: list[list] = [[list(r["w"]), r["c"]] for r in rows]
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wid, (syms, c) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            where.setdefault(p, set()).add(wid)
     merges: list[tuple[str, str]] = []
+    done: set[tuple[str, str]] = set()
     for _ in range(n_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for syms, c in vocab.items():
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pair_counts[p] = pair_counts.get(p, 0) + c
-        if not pair_counts:
+        # max count, lexicographically-smallest pair — fully deterministic.
+        # A pair can re-form after later merges recreate its adjacency;
+        # `done` keeps it out of the table (the encoder's min-rank-first
+        # sweep re-applies the existing rule to recreated adjacencies)
+        live = [(p, n) for p, n in pair_counts.items() if n > 0 and p not in done]
+        if not live:
             break
-        # max count, lexicographically-smallest pair — fully deterministic
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        best = min(live, key=lambda kv: (-kv[1], kv[0]))[0]
+        done.add(best)
         merges.append(best)
-        merged: dict[tuple[str, ...], int] = {}
-        for syms, c in vocab.items():
+        for wid in sorted(where.get(best, ())):
+            syms, c = words[wid]
+            if not any(
+                (syms[i], syms[i + 1]) == best for i in range(len(syms) - 1)
+            ):
+                continue  # stale index entry from an earlier rewrite
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] -= c
             out, i = [], 0
             while i < len(syms):
                 if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
@@ -868,8 +903,13 @@ def train_bpe_merges(
                 else:
                     out.append(syms[i])
                     i += 1
-            merged[tuple(out)] = merged.get(tuple(out), 0) + c
-        vocab = merged
+            words[wid][0] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                where.setdefault(p, set()).add(wid)
+        pair_counts.pop(best, None)
+        where.pop(best, None)
     return merges
 
 

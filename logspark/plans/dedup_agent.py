@@ -123,18 +123,27 @@ def dedup_tick(
         }
 
 
-def _pin_centroids(spark, sink_root: str, centroids, first_batch, n_cells: int):
+def _pin_centroids(spark, sink_root: str, centroids, first_batch_fn, n_cells: int):
     """Centroids must be FIXED for the store's lifetime (a drifting
     assignment splits cells across time), so the FIRST tick persists them
     under the sink root and every later tick — any process, any restart —
-    reads the pinned copy back. Re-training means a new store generation."""
-    from logspark.operators.similarity import head_centroids
+    reads the pinned copy back. Re-training means a new store generation.
 
+    The pin is write-then-RENAME: Spark's parquet write is not atomic (it
+    creates the destination dir before committing files), so gating on
+    the final directory's existence over a direct write would wedge — or
+    silently half-pin — after a crash mid-write. Writing to a temp dir
+    and renaming makes 'centroids dir exists' mean 'fully committed',
+    the same discipline as the store index. `first_batch_fn` is a thunk
+    so the seed scan is only built on the first tick."""
     path = os.path.join(sink_root, "centroids")
-    if os.path.isdir(path):
-        return spark.read.parquet(path)
-    c = head_centroids(first_batch, n_cells) if centroids is None else centroids
-    c.write.mode("overwrite").parquet(path)
+    if not os.path.isdir(path):
+        from logspark.operators.similarity import head_centroids
+
+        c = head_centroids(first_batch_fn(), n_cells) if centroids is None else centroids
+        tmp = path + ".tmp"
+        c.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, path)
     return spark.read.parquet(path)
 
 
@@ -171,7 +180,11 @@ def embed_dedup_tick(
         already = sorted(f for f in pending if f in ingested)
         fresh = sorted(f for f in pending if f not in ingested)
         cents = _pin_centroids(
-            spark, sink_root, centroids, io.read_files(spark, table, pending), n_cells
+            spark,
+            sink_root,
+            centroids,
+            lambda: io.read_files(spark, table, pending),
+            n_cells,
         )
         parts = []
         if already:

@@ -1032,6 +1032,57 @@ def test_embed_dedup_agent_ticks_equal_one_shot(spark, emb, tmp_path):
     assert got == one and one
 
 
+def test_vector_store_compaction_partitioned_and_legacy_semantics(spark, emb, tmp_path):
+    """r5 review fixes: (a) compacting a CELL-PARTITIONED store must use
+    the per-run union load (the multi-path read throws
+    CONFLICTING_DIRECTORY_STRUCTURES on partitioned run dirs) and keep
+    the partitioned layout + pruning; (b) compaction must NOT fabricate
+    complete provenance when a legacy run was appended without
+    input_files — files_complete() stays False across compaction."""
+    import os
+    import re
+
+    from logspark.operators.dedup import SignatureStore
+
+    C = similarity.head_centroids(emb, 4)
+    m = similarity.ivf_assign_multi(emb, C, nprobe=2)
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    half = ids[len(ids) // 2]
+
+    # (a) partitioned store: two runs, compact, layout + pruning survive
+    vs = SignatureStore(str(tmp_path / "vs"))
+    vs.append(m.filter(F.col("vec_id") <= half), "r0",
+              input_files=["f0"], partition_by=["cell"])
+    vs.append(m.filter(F.col("vec_id") > half), "r1",
+              input_files=["f1"], partition_by=["cell"])
+    before = {(r["vec_id"], r["cell"]) for r in vs.load_runs_union(spark).collect()}
+    vs.compact(spark)
+    assert len(vs.committed_runs()) == 1
+    after = {(r["vec_id"], r["cell"]) for r in vs.load_runs_union(spark).collect()}
+    assert after == before
+    assert vs.committed_files() == {"f0", "f1"} and vs.files_complete()
+    run_dir = os.path.join(str(tmp_path / "vs"), "runs", vs.committed_runs()[0])
+    assert any(d.startswith("cell=") for d in os.listdir(run_dir))  # layout kept
+    plan = (
+        vs.load_runs_union(spark)
+        .filter(F.col("cell") == 0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(r"PartitionFilters: \[.*cell", plan)
+
+    # (b) legacy run without provenance: incompleteness survives compaction
+    ls = SignatureStore(str(tmp_path / "ls"))
+    sigs = spark.createDataFrame([(1, 7), (2, 9)], "doc_id bigint, h bigint")
+    ls.append(sigs, "legacy")  # no input_files
+    ls.append(spark.createDataFrame([(3, 5)], "doc_id bigint, h bigint"),
+              "new", input_files=["fX"])
+    assert not ls.files_complete()
+    ls.compact(spark)
+    assert len(ls.committed_runs()) == 1
+    assert not ls.files_complete()  # compaction did not fabricate provenance
+    assert "fX" in ls.committed_files()
+
+
 def test_ivf_index_partition_pruned_search(spark, emb, tmp_path):
     """write_ivf_index persists the corpus partitioned by IVF cell;
     ivf_topk_indexed's probe-cell isin becomes a STATIC partition filter,
