@@ -288,9 +288,11 @@ def update_baseline_md(scaling: dict) -> None:
             f"| 2 | local[{fourn}] | {scaling['4n_sec']} | {scaling['4n_turns_per_sec']:,} |\n"
             f"| peak | local[{scaling['peak_cores']}] | {scaling['peak_sec']} | "
             f"{scaling['peak_turns_per_sec']:,} |\n\n"
-            "(peak = one all-cores run: the single-node throughput record —\n"
-            "the reference agent is single-process and publishes no numbers,\n"
-            "so this line IS the single-node comparison point.)\n\n"
+            f"(peak = best of {len(scaling.get('peak_all_runs_sec', [1]))} all-cores runs, "
+            f"raw seconds {scaling.get('peak_all_runs_sec')}: the\n"
+            "single-node throughput record — the reference agent is\n"
+            "single-process and publishes no numbers, so this line IS the\n"
+            "single-node comparison point.)\n\n"
             f"**Scaling efficiency ({n}→{fourn} cores) = (tput_4N/tput_N)/4 = "
             f"{scaling['scaling_efficiency']}** (target ≥ 0.8)\n\n"
             f"Best-of-k per level, interleaved (N: {len(scaling['all_runs_sec'][str(n)])} runs, "
