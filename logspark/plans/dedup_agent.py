@@ -264,6 +264,36 @@ def watch_dedup(
     return results
 
 
+def watch_embed_dedup(
+    spark: SparkSession,
+    io: ParquetIO,
+    table: str,
+    sink_root: str,
+    interval_s: float = 30.0,
+    max_iterations: int | None = None,
+    compact_every: int | None = 64,
+    **tick_kwargs,
+) -> list[dict]:
+    """Continuous loop around `embed_dedup_tick` — same contract as
+    `watch_dedup`, over the cell-partitioned vector store. Compaction
+    preserves the partitioned layout (store index carries partition_by)
+    and the per-file provenance, both under the writer lock."""
+    import time
+
+    results: list[dict] = []
+    i = 0
+    while max_iterations is None or i < max_iterations:
+        results.append(embed_dedup_tick(spark, io, table, sink_root, **tick_kwargs))
+        store = SignatureStore(os.path.join(sink_root, "vstore"))
+        if compact_every is not None and len(store.committed_runs()) >= compact_every:
+            with WriterLock(sink_root):
+                store.compact(spark)
+        i += 1
+        if max_iterations is None or i < max_iterations:
+            time.sleep(interval_s)
+    return results
+
+
 def all_pairs(spark: SparkSession, sink_root: str) -> DataFrame:
     """The union of every committed tick's verified pairs — by the
     incremental guarantee, equal to the one-shot whole-corpus pair set."""

@@ -1032,6 +1032,54 @@ def test_embed_dedup_agent_ticks_equal_one_shot(spark, emb, tmp_path):
     assert got == one and one
 
 
+def test_watch_embed_dedup_with_compaction_and_pin_crash(spark, emb, tmp_path):
+    """The embedding watch loop: per-file ticks with vstore compaction
+    (partitioned layout + provenance survive), pinned centroids reused
+    across ticks, and a CRASHED first-tick centroid pin (temp dir left
+    behind, final dir absent) recovers on retry — the write-then-rename
+    discipline (r5 review finding 3)."""
+    import os
+
+    from logspark.operators.dedup import SignatureStore
+    from logspark.plans import dedup_agent
+    from logspark.sources.tableio import ParquetIO
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    n = len(pdf)
+    tbl = tmp_path / "in" / "vecs.parquet"
+    tbl.mkdir(parents=True)
+    io = ParquetIO(str(tmp_path / "in"))
+    sink = str(tmp_path / "weagent")
+    os.makedirs(sink, exist_ok=True)
+
+    # simulate a crash mid-pin BEFORE any tick: a stale tmp dir exists
+    os.makedirs(os.path.join(sink, "centroids.tmp", "_temporary"), exist_ok=True)
+
+    for i, lo in enumerate(range(0, n, n // 3 + 1)):
+        pdf.iloc[lo : lo + n // 3 + 1].to_parquet(tbl / f"f{i}.parquet")
+        dedup_agent.watch_embed_dedup(
+            spark, io, "vecs", sink,
+            interval_s=0.01, max_iterations=1, compact_every=2, threshold=0.35,
+        )
+    assert os.path.isdir(os.path.join(sink, "centroids"))  # pin recovered
+
+    store = SignatureStore(os.path.join(sink, "vstore"))
+    assert len(store.committed_runs()) < 3  # compaction fired
+    assert store.files_complete() and len(store.committed_files()) == 3
+    rows = store.load_runs_union(spark).groupBy("vec_id", "cell").count().collect()
+    assert all(r["count"] == 1 for r in rows)
+    run_dir = os.path.join(sink, "vstore", "runs", store.committed_runs()[0])
+    assert any(d.startswith("cell=") for d in os.listdir(run_dir))
+
+    pinned = spark.read.parquet(os.path.join(sink, "centroids"))
+    one = {
+        (r["a"], r["b"])
+        for r in similarity.ivf_near_dups(emb, threshold=0.35, centroids=pinned).collect()
+    }
+    got = {(r["a"], r["b"]) for r in dedup_agent.all_pairs(spark, sink).collect()}
+    assert got == one and one
+
+
 def test_vector_store_compaction_partitioned_and_legacy_semantics(spark, emb, tmp_path):
     """r5 review fixes: (a) compacting a CELL-PARTITIONED store must use
     the per-run union load (the multi-path read throws
