@@ -94,12 +94,18 @@ def _extra_bench_queries() -> dict:
         docs = _t(spark, sf_dir, "documents")
         return textops.pack_sequences_nosplit(docs, seq_tokens=2048)
 
+    def sft_batches(spark, sf_dir):
+        from logspark.datagen import transcripts_df
+
+        return textops.sft_batches(transcripts_df(spark, 100_000), seq_tokens=2048)
+
     return {
         "cosine_topk_batch": cosine_topk_batch,
         "sample_frames": sample_frames,
         "approx_distinct": approx_distinct,
         "approx_quantiles": approx_quantiles,
         "pack_sequences_nosplit": pack_sequences_nosplit,
+        "sft_batches": sft_batches,
     }
 
 
