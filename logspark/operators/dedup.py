@@ -589,6 +589,40 @@ def dedup_clusters(
     return cc.select(F.col("node").alias(id_col), F.col("component").alias("cluster_id"))
 
 
+def dedup_stats(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """One-row dedup audit — the number every dedup run should publish
+    before anyone trains on its output: corpus size, clustered docs,
+    cluster count, docs dropped (clustered - clusters), duplicate rate,
+    and the largest cluster (a skew/near-dup-storm canary: one viral
+    boilerplate string can chain thousands of docs into one component).
+    Two tiny aggregates over the (doc, cluster) table + one corpus count
+    — all map-side partials, no extra pass over texts."""
+    per = clusters.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("sz"))
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.coalesce(F.sum("sz"), F.lit(0)).alias("n_clustered_docs"),
+        F.coalesce(F.max("sz"), F.lit(0)).alias("max_cluster_size"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return total.crossJoin(agg).select(
+        "n_docs",
+        "n_clustered_docs",
+        "n_clusters",
+        (F.col("n_clustered_docs") - F.col("n_clusters")).alias("n_dropped"),
+        F.round(
+            (F.col("n_clustered_docs") - F.col("n_clusters"))
+            / F.greatest(F.col("n_docs"), F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        "max_cluster_size",
+    )
+
+
 def dedup_apply(
     df: DataFrame,
     pairs: DataFrame,

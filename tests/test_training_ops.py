@@ -476,6 +476,17 @@ def test_dedup_apply_partition_invariants(spark, docs):
         nbrs.setdefault(b, set()).add(a)
     for d in dropped:
         assert any(cl.get(n) == cl[d] for n in nbrs.get(d, ())), d
+    # the audit row agrees with the collected ground truth
+    st = dedup.dedup_stats(docs, clusters).collect()[0]
+    assert st["n_docs"] == n_docs
+    assert st["n_clustered_docs"] == len(cl)
+    assert st["n_clusters"] == len(by_cluster)
+    assert st["n_dropped"] == len(dropped)
+    assert st["dup_rate"] == pytest.approx(len(dropped) / n_docs, abs=1e-6)
+    assert st["max_cluster_size"] == max(len(m) for m in by_cluster.values())
+    # empty-cluster edge: zero rows -> zeros, not nulls
+    empty = dedup.dedup_stats(docs, clusters.limit(0)).collect()[0]
+    assert (empty["n_clusters"], empty["n_dropped"], empty["dup_rate"]) == (0, 0, 0.0)
     pairs.unpersist(); clusters.unpersist(); surviving.unpersist()
 
 
