@@ -588,6 +588,47 @@ def test_dedup_tick_verify_scan_pruned(spark, tmp_path):
     assert any("f2.parquet" in f for f in r2["corpus_files"])  # pending file scanned
 
 
+def test_dedup_tick_legacy_store_fallback_scans_manifest_files(spark, tmp_path):
+    """When the store holds runs WITHOUT file provenance (legacy format),
+    dedup_tick must fall back to scanning manifest-processed files for
+    verify texts — pruning only what provenance can prove. Built by
+    manually appending a provenance-less run for a committed file."""
+    import os
+
+    import pandas as pd
+
+    from logspark.operators import dedup
+    from logspark.plans import dedup_agent
+    from logspark.sources import manifest as mf
+    from logspark.sources.tableio import ParquetIO
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    tbl = tmp_path / "in" / "docs.parquet"
+    tbl.mkdir(parents=True)
+    pd.DataFrame([(1, base), (2, base + " today")], columns=["doc_id", "text"]
+                 ).to_parquet(tbl / "f1.parquet")
+    io = ParquetIO(str(tmp_path / "in"))
+    sink = str(tmp_path / "agent")
+
+    # simulate a legacy deployment: f1 ingested + committed WITHOUT file
+    # provenance in the store index
+    f1 = io.input_files(spark, "docs")[0]
+    store = dedup.SignatureStore(os.path.join(sink, "sigstore"))
+    docs1 = io.read_files(spark, "docs", [f1])
+    store.append(dedup.minhash_signatures(docs1), "legacy-r1")  # no input_files
+    os.makedirs(sink, exist_ok=True)
+    mf.commit_run(sink, mf.RunRecord(run_id="legacy-r1", input_files=[f1]))
+    assert not store.files_complete()
+
+    pd.DataFrame([(3, base + " yesterday")], columns=["doc_id", "text"]
+                 ).to_parquet(tbl / "f2.parquet")
+    r = dedup_agent.dedup_tick(spark, io, "docs", sink, threshold=0.5)
+    # fallback: the legacy file's texts WERE scanned (cross-file pair found)
+    assert any("f1.parquet" in f for f in r["corpus_files"])
+    got = {(x["a"], x["b"]) for x in dedup_agent.all_pairs(spark, sink).collect()}
+    assert any(a in (1, 2) and b == 3 for a, b in got)  # crosses the legacy boundary
+
+
 def test_watch_dedup_compaction_preserves_provenance(spark, tmp_path):
     """watch_dedup's compact_every folds the store's run dirs into one
     WITHOUT losing the per-file ingestion provenance — a post-compaction

@@ -1497,6 +1497,27 @@ def test_pack_sequences_nosplit_matches_sequential_reference(spark):
         pack_sequences_nosplit(spark.createDataFrame([(1, "a")], "doc_id bigint, text string"), 0)
 
 
+def test_sft_batches_shuffle_count(spark):
+    """Plan audit: the sft composition's FINAL assignment plan carries
+    exactly the shuffles it needs — one hash exchange for the per-
+    conversation examples window and one range exchange for the packer's
+    bucketing — so a regression that adds a join or an extra
+    repartition to the hot path fails loudly."""
+    from logspark.operators.textops import sft_batches
+
+    rows = [("c1", t, "assistant" if t % 2 else "user", "some words here")
+            for t in range(6)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    plan = sft_batches(df, seq_tokens=64)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    # window shuffle is upstream of the packer's localCheckpoint, so the
+    # final plan shows only the checkpoint scan -> groupBy(_bkt) exchange
+    assert n_exchanges <= 2, plan
+    assert "Join" not in plan  # key recovery is slicing, never a join
+
+
 def test_pack_sequences_nosplit_hypothesis(spark):
     """Property form of the no-split guarantee: for random size lists,
     capacities, and bucket counts drawn by hypothesis, the distributed
