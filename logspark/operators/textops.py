@@ -474,6 +474,45 @@ def sft_batches(
     )
 
 
+def train_eval_split(
+    df: DataFrame,
+    eval_fraction: float = 0.01,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    fractions: dict | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/eval assignment — the holdout step every
+    training pipeline needs, done the only way that survives 100 TB and
+    reruns: membership is a pure function of (salt, id), via the
+    portable 60-bit hash, compared against the fraction scaled to 2^20
+    buckets. Zero shuffle (one narrow projection), zero RNG: adding or
+    removing OTHER docs never flips an existing doc's split (no
+    sample()-style reshuffling between runs), and a new `salt` defines a
+    fresh independent split without touching data.
+
+    `strata_col` + `fractions` ({stratum: eval_fraction}) give per-
+    stratum holdout rates (e.g. hold out 10% of code, 1% of web);
+    strata absent from the dict fall back to `eval_fraction`. Adds
+    `split` ∈ {'train', 'eval'}."""
+    if not 0.0 <= eval_fraction <= 1.0:
+        raise ValueError(f"train_eval_split: eval_fraction must be in [0, 1], got {eval_fraction}")
+    buckets = 1 << 20
+    h = portable_hash60(F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string")))
+    b = F.pmod(h, F.lit(buckets))
+    if strata_col is None or not fractions:
+        cut = F.lit(int(eval_fraction * buckets))
+    else:
+        cut = F.lit(int(eval_fraction * buckets))
+        for stratum, frac in sorted(fractions.items()):
+            if not 0.0 <= frac <= 1.0:
+                raise ValueError(f"train_eval_split: fraction for {stratum!r} out of [0, 1]")
+            cut = F.when(
+                F.col(strata_col) == stratum, F.lit(int(frac * buckets))
+            ).otherwise(cut)
+    return df.withColumn("split", F.when(b < cut, F.lit("eval")).otherwise(F.lit("train")))
+
+
 def mixture_sample_ratios(
     df: DataFrame,
     total_tokens: int,

@@ -1406,6 +1406,43 @@ def test_conversation_examples_token_budget(spark):
     assert mid[("c1", 3)] == "tool: a b\nuser: x"
 
 
+def test_train_eval_split_deterministic_and_stratified(spark, docs):
+    """Hash-based holdout: membership is a pure function of (salt, id) —
+    stable under corpus growth, re-runs, and partitioning; observed
+    fractions track the requested ones; per-stratum fractions honored;
+    a different salt yields an independent split."""
+    from logspark.operators.textops import train_eval_split
+
+    out = train_eval_split(docs, eval_fraction=0.1)
+    rows = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    n = len(rows)
+    n_eval = sum(1 for v in rows.values() if v == "eval")
+    assert 0.04 <= n_eval / n <= 0.2  # small corpus: generous tolerance
+    # re-run: identical membership
+    again = {r["doc_id"]: r["split"]
+             for r in train_eval_split(docs, eval_fraction=0.1).select("doc_id", "split").collect()}
+    assert again == rows
+    # growth stability: the split over HALF the corpus agrees on shared ids
+    ids = sorted(rows)
+    half = docs.filter(F.col("doc_id").isin(ids[: n // 2]))
+    sub = {r["doc_id"]: r["split"]
+           for r in train_eval_split(half, eval_fraction=0.1).select("doc_id", "split").collect()}
+    assert all(rows[d] == s for d, s in sub.items())
+    # independent split under a new salt (some membership changes)
+    other = {r["doc_id"]: r["split"]
+             for r in train_eval_split(docs, eval_fraction=0.1, salt="v2").select("doc_id", "split").collect()}
+    assert other != rows
+    # stratified: hold out ~30% of 'en', ~0% of everything else
+    st = train_eval_split(docs, eval_fraction=0.0, strata_col="lang",
+                          fractions={"en": 0.3}).groupBy("lang", "split").count().collect()
+    per = {(r["lang"], r["split"]): r["count"] for r in st}
+    en_total = per.get(("en", "eval"), 0) + per.get(("en", "train"), 0)
+    assert per.get(("en", "eval"), 0) / max(en_total, 1) > 0.15
+    assert not any(s == "eval" and l != "en" for (l, s) in per)
+    with pytest.raises(ValueError, match="eval_fraction"):
+        train_eval_split(docs, eval_fraction=1.5)
+
+
 def test_sft_batches_composition(spark):
     """sft_batches = conversation_examples ∘ pack_sequences_nosplit: every
     example packs whole into a batch in (conv_id, turn_idx) order, batch
