@@ -18,8 +18,20 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _load_bench_module():
+    """bench/ the package shadows bench.py the module — load it by path."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location("bench_main", os.path.join(repo, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def main() -> None:
-    from bench import HEADLINE, _extra_bench_queries
+    bench_mod = _load_bench_module()
+    HEADLINE, _extra_bench_queries = bench_mod.HEADLINE, bench_mod._extra_bench_queries
     from logspark.queries import QUERIES
     from logspark.session import get_spark
 

@@ -27,7 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    from bench import HEADLINE, _extra_bench_queries
+    from bench.plan_capture import _load_bench_module
+
+    bench_mod = _load_bench_module()
+    HEADLINE, _extra_bench_queries = bench_mod.HEADLINE, bench_mod._extra_bench_queries
     from logspark.queries import QUERIES
     from logspark.session import get_spark
 

@@ -30,6 +30,18 @@ from logspark.operators.textops import portable_hash60
 
 MERSENNE_P = 2147483647  # 2^31 - 1; (p-1)^2 < 2^62 so a*h+b stays in int64
 
+# Cross-batch shingle/gram md5 memos (r6, ADVICE r5-style cache hoist):
+# Python workers are reused and this module is imported on executors, so a
+# module-level memo amortizes md5 work across batches AND tasks instead of
+# rebuilding per Arrow batch. Shingles repeat heavily across near-dup docs
+# (that is the premise of the whole pipeline); the cap bounds worst-case
+# memory (~100 B/entry → ~100 MB ceiling per worker before a reset).
+# Separate dicts because minhash stores the MOD-P value and winnowing the
+# raw 60-bit value.
+_MINHASH_MEMO: dict[str, int] = {}
+_WINNOW_MEMO: dict[str, int] = {}
+_MEMO_MAX = 1 << 20
+
 
 def cap_buckets(
     banded: DataFrame, max_bucket: int | None, keys: tuple[str, ...] = ("band", "key")
@@ -132,8 +144,15 @@ def _make_minhash_kernel(coeffs: list[tuple[int, int]], k: int):
         import numpy as np
         import pandas as pd
 
+        # resolve the memo through the worker's own module import: the
+        # nested kernel is pickled by value, so a plain global reference
+        # would ship a per-task copy instead of the shared per-worker dict
+        from logspark.operators import dedup as _m
+
         n = len(s)
-        memo: dict[str, int] = {}
+        memo = _m._MINHASH_MEMO
+        if len(memo) > _MEMO_MAX:
+            memo.clear()
 
         def h60(sh: str) -> int:
             v = memo.get(sh)
@@ -265,6 +284,15 @@ def ngram_jaccard(
     quadratic in bucket size); with LSH `candidates` (a,b) it verifies only
     those — the scale path."""
     if candidates is not None:
+        # Materialize the candidate pair list ONCE (r6): it is referenced
+        # three times below (both sides of the id-set union + the
+        # intersection join), and its lineage is the full signature →
+        # banding → self-join chain; ReusedExchange only dedups identical
+        # exchange subtrees, not the post-exchange work, and the three
+        # consumers sit above different projections. The pair list is
+        # O(near-dups) rows — tiny — so the checkpoint is cheap at any
+        # corpus size.
+        candidates = candidates.localCheckpoint(eager=True)
         # Shingle ONLY candidate-touched docs: per-doc shingles are
         # independent, so pruning the corpus to the (small) candidate id
         # set first is semantics-free and removes the whole-corpus explode
@@ -278,6 +306,12 @@ def ngram_jaccard(
         )
         df = df.join(cand_ids, id_col, "leftsemi")
     sh = shingles(df, id_col, text_col, k)
+    if candidates is not None:
+        # the pruned shingle set is O(candidate-touched docs x shingles/doc)
+        # — materialize it once (r6): it feeds `sizes` and both sides of
+        # the intersection join, and each reference otherwise re-runs the
+        # corpus semi-join scan + the shingling explode
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
         # Candidates-driven intersection: attach each pair's a-side
@@ -352,7 +386,11 @@ def _make_winnow_kernel(k: int, w: int):
         import numpy as np
         import pandas as pd
 
-        memo: dict[str, int] = {}
+        from logspark.operators import dedup as _m  # per-worker shared memo
+
+        memo = _m._WINNOW_MEMO
+        if len(memo) > _MEMO_MAX:
+            memo.clear()
 
         def h60(g: str) -> int:
             v = memo.get(g)
@@ -394,9 +432,14 @@ def simhash_verified(
     distance over the full 60-bit fingerprints → keep pairs ≤ max_hamming.
     (Banding guarantees recall for distance ≤ n_bands-1; the verify kills
     the false positives banding lets through.) One narrow projection after
-    the banded join — bit_count(xor) is a single JVM intrinsic per pair."""
-    cand = simhash_bands(df_with_simhash, id_col, n_bands, max_bucket)
-    h = df_with_simhash.select(F.col(id_col), "simhash")
+    the banded join — bit_count(xor) is a single JVM intrinsic per pair.
+
+    r6: the (id, simhash) projection is materialized ONCE and feeds the
+    banding AND both verify joins — the r5 plan re-ran the simhash kernel
+    per consumer (the two hash-attach joins are narrow on their build
+    side, so ReusedExchange never fired for them)."""
+    h = df_with_simhash.select(F.col(id_col), "simhash").localCheckpoint(eager=True)
+    cand = simhash_bands(h, id_col, n_bands, max_bucket)
     out = (
         cand.join(h.select(F.col(id_col).alias("a"), F.col("simhash").alias("_ha")), "a")
         .join(h.select(F.col(id_col).alias("b"), F.col("simhash").alias("_hb")), "b")
@@ -962,6 +1005,10 @@ def incremental_near_dup_pairs(
             F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("b"),
         )
         .distinct()
+        # materialize the tiny candidate list once (r6): it feeds the
+        # touched-docs semi-join (two union branches) and the verify —
+        # without this each consumer re-runs the store-scan + banding join
+        .localCheckpoint(eager=True)
     )
 
     touched = corpus.join(

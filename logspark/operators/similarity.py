@@ -30,6 +30,132 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+# ---------------------------------------------------------------------------
+# r6 exact-fold numpy kernels. The higher-order-function forms above are
+# CodegenFallback — Catalyst interprets the lambdas per element per row, and
+# the r5 plans evaluated them per PAIR inside join conditions (55 s of
+# embed_near_dups at sf1.0 was this). The replacements below vectorize the
+# SAME arithmetic, in the same IEEE order, so every sim stays bit-identical
+# to the JVM fold and to the DuckDB oracle's list_reduce:
+#
+#   S += V[:, i] * C[:, i]  accumulated over i  ==  (((0.0 + t0) + t1) + ...)
+#
+# per matrix element — an exact left fold, NOT a BLAS matmul (pairwise
+# summation would differ in the last ulp and could flip an exact-tie under
+# the hash gate). An unrolled Column chain was tried first and was 2.4x
+# SLOWER than the fold (the ~400-node arithmetic tree defeats codegen/JIT);
+# the guide's §4.2 batch-kernel shape is the right one.
+# ---------------------------------------------------------------------------
+
+
+def _exact_sim_matrix(V, C, nv, nc):
+    """Cosine matrix (len(V) x len(C)) with fold-exact accumulation:
+    S[a, b] = fold_i(V[a,i]*C[b,i]) / (nv[a] * nc[b])."""
+    import numpy as np
+
+    S = np.zeros((V.shape[0], C.shape[0]))
+    for i in range(V.shape[1]):
+        S += V[:, i][:, None] * C[:, i][None, :]
+    return S / (nv[:, None] * nc[None, :])
+
+
+def _exact_norms(V):
+    """sqrt(fold_i(v_i * v_i)) per row — bit-identical to _norm."""
+    import numpy as np
+
+    n = np.zeros(V.shape[0])
+    for i in range(V.shape[1]):
+        n += V[:, i] * V[:, i]
+    return np.sqrt(n)
+
+
+def _pair_scores_grouped(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    flag_col: str | None = None,
+) -> DataFrame:
+    """(a, b, sim) pairs within each `keys` group whose ROUNDED cosine
+    meets `threshold` — the bucketed-self-join scoring stage as ONE
+    applyInPandas kernel per bucket instead of a join whose condition
+    re-interprets three array folds per candidate pair.
+
+    Without `flag_col`: all a < b pairs of the group (the self-join
+    form). With `flag_col` (boolean): pairs with at least one flagged
+    member, emitted as (least, greatest) — both-flagged pairs surface in
+    both orientations with bit-identical sims (per-element IEEE multiply
+    commutes), exactly like the old new-side x all-side join, and the
+    caller's distinct() collapses them.
+
+    Exactness: sims via _exact_sim_matrix (fold-exact); the threshold is
+    applied to the HALF_UP 6dp rounding F.round performs, via the proven
+    two-stage cut (np.round prefilter with 1e-6 slack, exact re-round of
+    survivors — see cosine_topk_batch). Rows with NULL vectors drop (their
+    fold sims were NULL and never passed the threshold).
+
+    Memory: the kernel holds one group's vectors plus a row-blocked score
+    matrix (<= ~64 MB per block); degenerate buckets are the caller's
+    `max_bucket` cap's job, exactly as with the join form."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from logspark.functions.rounding import round_half_up6
+
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "sim": pd.Series([], dtype="float64")})
+        pdf = pdf[pdf[vec_col].notna()]
+        m = len(pdf)
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        nr = _exact_norms(V)
+        rows = (
+            np.nonzero(pdf[flag_col].to_numpy())[0]
+            if flag_col is not None
+            else np.arange(m)
+        )
+        if len(rows) == 0:
+            return empty
+        out_a, out_b, out_s = [], [], []
+        blk = max(1, 8_000_000 // m)  # <= ~64 MB of doubles per block
+        col_idx = np.arange(m)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for s in range(0, len(rows), blk):
+                r_idx = rows[s : s + blk]
+                S = _exact_sim_matrix(V[r_idx], V, nr[r_idx], nr)
+                if flag_col is None:
+                    mask = col_idx[None, :] > r_idx[:, None]  # a < b, once
+                else:
+                    mask = col_idx[None, :] != r_idx[:, None]  # any partner
+                mask &= np.round(S, 6) >= threshold - 1e-6
+                for ri, ci in zip(*np.nonzero(mask)):
+                    e = round_half_up6(S[ri, ci])
+                    if e >= threshold:
+                        i, j = r_idx[ri], ci
+                        a, b = (i, j) if ids[i] < ids[j] else (j, i)
+                        out_a.append(int(ids[a]))
+                        out_b.append(int(ids[b]))
+                        out_s.append(e)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64"),
+                             "sim": pd.Series(out_s, dtype="float64")})
+
+    cols = [id_col, vec_col, *keys] + ([flag_col] if flag_col else [])
+    return (
+        df.select(*cols)  # ship ONLY what the kernel reads (guide §4.1)
+        .groupBy(*[F.col(k) for k in keys])
+        .applyInPandas(score, f"a {id_t}, b {id_t}, sim double")
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_id: int,
@@ -171,6 +297,13 @@ def signbit_bucket(
         F.col(anchor_id_col).alias("_aid"), F.col(vec_col).cast("array<double>").alias("_avec")
     )
     rows = a.orderBy("_aid").collect()  # few anchors — driver-side is fine
+    if len(rows) > 63:
+        # 2**i overflows the long bitmask at i >= 63, silently corrupting
+        # buckets (VERDICT r5 #5) — fail loudly at the documented bound
+        raise ValueError(
+            f"signbit_bucket: {len(rows)} anchors exceed the 63-bit bigint "
+            "bucket mask — use IVF cells (ivf_assign) past 63 hyperplanes"
+        )
     dv = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("long")
     for i, r in enumerate(rows):
@@ -223,6 +356,78 @@ def head_centroids(
     )
 
 
+def _assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared top-`nprobe` nearest-centroid assignment kernel behind
+    ivf_assign (nprobe=1) and ivf_assign_multi: the centroid matrix is
+    driver-collected once (tiny — the ivf_assign_vectorized broadcast
+    shape) and ships in a mapInPandas closure; each Arrow batch scores
+    every (vector, centroid) cosine with the fold-exact accumulation
+    (_exact_sim_matrix — bit-identical to the JVM/DuckDB left fold,
+    unlike BLAS) and picks cells by repeated first-argmax, which equals
+    the declarative `max_by(cell, struct(sim, -cell))` / descending
+    (s, -cell) struct sort tie-break: highest sim, ties → LOWEST cell
+    (centroid rows are scored in ascending-cell order).
+
+    ZERO shuffle and zero Python-boundary fan-out: the r5 form was a
+    broadcast join producing k rows per vector whose sim expression was
+    an interpreted per-element fold, plus a groupBy(id) exchange to fold
+    them back; this is one narrow Arrow pass. Rows with NULL vectors are
+    dropped (they could never score). Returns (id, vec, cell), one row
+    per (vector, probed cell)."""
+    rows = centroids.select("cell", "cvec").orderBy("cell").collect()
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    schema = f"{id_col} {id_t}, {vec_col} {vec_t}, cell int"
+    if not rows:
+        # mirror of the r5 empty-centroids behavior: an empty assignment
+        return (
+            df.select(id_col, vec_col)
+            .filter(F.lit(False))
+            .withColumn("cell", F.lit(None).cast("int"))
+        )
+    import numpy as np
+
+    C = np.array([r["cvec"] for r in rows], dtype=np.float64)
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    npro = min(nprobe, len(rows))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        nc = _exact_norms(C)
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                S = _exact_sim_matrix(V, C, _exact_norms(V), nc)
+            picks = np.empty((n, npro), dtype=np.int64)
+            ridx = np.arange(n)
+            for j in range(npro):
+                p = S.argmax(axis=1)  # first max == lowest cell on ties
+                picks[:, j] = p
+                S[ridx, p] = -np.inf
+            out = np.repeat(np.arange(n), npro)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[out],
+                    vec_col: pdf[vec_col].to_numpy()[out],
+                    "cell": cells[picks.reshape(-1)].astype("int32"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -233,32 +438,13 @@ def ivf_assign(
     (VERDICT r2 #2 replaced a literal-inlined when-chain whose expression
     tree grew O(n_centroids x dim) and exploded at IVF-realistic k).
 
-    Shape: ONE broadcast (nested-loop) join corpus x centroids — the
-    centroid table is the broadcast side, the corpus never moves — then a
-    map-side-partial `max_by` argmax per vector. All k copies of a corpus
-    row are produced consecutively inside its own partition, so partial
-    aggregation collapses them to one row BEFORE the exchange; the shuffle
-    carries N rows regardless of k. Deterministic tie-break: max over
-    struct(sim, -cell) → lowest cell wins equal sims, and both engines
-    fold the dot product left-to-right so sims are bit-identical.
+    r6: one narrow Arrow pass (see _assign_cells) — fold-exact sims, the
+    same (sim desc, cell asc) argmax, zero shuffle (the r5 broadcast-join
+    + groupBy form interpreted the dot fold per (row, centroid) copy and
+    paid a corpus-wide exchange to collapse the fan-out).
 
     Returns (id, vec, cell)."""
-    c = F.broadcast(centroids.select("cell", "cvec"))
-    dv = F.col(vec_col).cast("array<double>")
-    cv = F.col("cvec")
-    sim = _dot(dv, cv) / (_norm(dv) * _norm(cv))
-    return (
-        df.select(id_col, vec_col)
-        .join(c)  # broadcast cartesian: k centroid rows per corpus row
-        .withColumn("_sim", sim)
-        .groupBy(id_col)
-        .agg(
-            F.first(vec_col).alias(vec_col),
-            F.max_by(
-                F.col("cell"), F.struct(F.col("_sim").alias("s"), (-F.col("cell")).alias("c"))
-            ).alias("cell"),
-        )
-    )
+    return _assign_cells(df, centroids, 1, id_col, vec_col)
 
 
 def ivf_assign_vectorized(
@@ -508,36 +694,36 @@ def incremental_ivf_near_dups(
     cells = [r["cell"] for r in m_new.select("cell").distinct().collect()]
     old = store.load_runs_union(spark)
 
+    # r6: pair scoring is the per-cell applyInPandas kernel
+    # (_pair_scores_grouped, flagged form) instead of the new x all join
+    # whose condition re-interpreted the folds per pair. The flagged rows
+    # are the new batch's; pairs need >= 1 flagged member — exactly the
+    # old l(new) x r(all) join semantics, with bit-identical sims
+    # (per-element multiply commutes, so the old orient-by-id when() was
+    # already orientation-independent bitwise).
     if replay:
         if old is None or (run_id is not None and run_id not in store.committed_runs()):
             raise ValueError(
                 f"replay=True but run {run_id!r} is not committed in the store"
             )
-        all_m = old.filter(F.col("cell").isin(cells))
+        new_ids = m_new.select(F.col(id_col)).distinct().withColumn("_new", F.lit(True))
+        all_m = (
+            old.filter(F.col("cell").isin(cells))
+            .join(new_ids, id_col, "left")
+            .withColumn("_new", F.coalesce(F.col("_new"), F.lit(False)))
+        )
     else:
         old_pruned = None if old is None else old.filter(F.col("cell").isin(cells))
-        all_m = m_new if old_pruned is None else old_pruned.unionByName(m_new)
-    all_m = cap_buckets(all_m, max_bucket, keys=("cell",))
-
-    l = m_new.select(
-        F.col(id_col).alias("_na"), F.col(vec_col).cast("array<double>").alias("_nv"), "cell"
-    )
-    r = all_m.select(
-        F.col(id_col).alias("_ob"), F.col(vec_col).cast("array<double>").alias("_ov"), "cell"
-    )
-    va = F.when(F.col("_na") < F.col("_ob"), F.col("_nv")).otherwise(F.col("_ov"))
-    vb = F.when(F.col("_na") < F.col("_ob"), F.col("_ov")).otherwise(F.col("_nv"))
-    pairs = (
-        l.join(r, "cell")
-        .filter(F.col("_na") != F.col("_ob"))
-        .select(
-            F.least("_na", "_ob").alias("a"),
-            F.greatest("_na", "_ob").alias("b"),
-            F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 6).alias("sim"),
+        tagged_new = m_new.withColumn("_new", F.lit(True))
+        all_m = (
+            tagged_new
+            if old_pruned is None
+            else old_pruned.withColumn("_new", F.lit(False)).unionByName(tagged_new)
         )
-        .filter(F.col("sim") >= threshold)
-        .distinct()
-    )
+    all_m = cap_buckets(all_m, max_bucket, keys=("cell",))
+    pairs = _pair_scores_grouped(
+        all_m, ("cell",), threshold, id_col, vec_col, flag_col="_new"
+    ).distinct()
     if not replay:
         store.append(m_new, run_id, input_files=input_files, partition_by=["cell"])
     return pairs
@@ -557,33 +743,13 @@ def ivf_assign_multi(
     cell boundary; with nprobe=2 each member also lives in its runner-up
     cell, so the pair co-occurs unless the two runner-ups differ too.
 
-    Shape: broadcast centroids × corpus (corpus never shuffles), then ONE
-    groupBy(id) whose map-side partial collapses the k candidate rows per
-    vector before the exchange; top-nprobe via sort_array+slice of the
-    collected (sim, -cell) structs — descending struct order ties to the
-    LOWEST cell, matching `ivf_assign` and the DuckDB `ORDER BY d DESC,
-    bit` oracle. The shuffle carries nprobe structs per vector, not k."""
-    c = F.broadcast(centroids.select("cell", "cvec"))
-    dv = F.col(vec_col).cast("array<double>")
-    cv = F.col("cvec")
-    sim = _dot(dv, cv) / (_norm(dv) * _norm(cv))
-    top = F.slice(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("_sim").alias("s"), (-F.col("cell")).alias("nc"))),
-            asc=False,
-        ),
-        1,
-        nprobe,
-    )
-    return (
-        df.select(id_col, vec_col)
-        .join(c)
-        .withColumn("_sim", sim)
-        .groupBy(id_col)
-        .agg(F.first(vec_col).alias(vec_col), top.alias("_top"))
-        .select(id_col, vec_col, F.explode("_top").alias("_t"))
-        .select(id_col, vec_col, (-F.col("_t.nc")).cast("int").alias("cell"))
-    )
+    r6: one narrow Arrow pass (see _assign_cells) — fold-exact sims, and
+    repeated first-argmax reproduces the descending (s, -cell) struct
+    sort exactly (ties → lowest cell), matching the DuckDB `ORDER BY d
+    DESC, bit` oracle. The r5 broadcast-join + collect_list/sort_array
+    form interpreted the dot fold per (row, centroid) copy and shuffled
+    the corpus once to collapse the fan-out; this shuffles nothing."""
+    return _assign_cells(df, centroids, nprobe, id_col, vec_col)
 
 
 def ivf_near_dups(
@@ -612,26 +778,16 @@ def ivf_near_dups(
 
     if centroids is None:
         centroids = head_centroids(df, n_cells, id_col, vec_col)
+    # r6: assignment is one narrow Arrow pass (no self-join sides to
+    # dedupe, so the r5 localCheckpoint is gone), and the within-cell
+    # quadratic scoring runs as ONE applyInPandas kernel per cell
+    # (_pair_scores_grouped) instead of a cell self-join whose condition
+    # re-interpreted dot + both norm folds per candidate pair — the r5
+    # plan spent 55 of embed_near_dups' 56 s at sf1.0 there. Sims stay
+    # bit-identical (fold-exact accumulation + HALF_UP two-stage cut).
     m = ivf_assign_multi(df, centroids, nprobe, id_col, vec_col)
-    # materialize ONCE: the self-join's two branches would otherwise each
-    # re-run the full corpus x centroids scoring + top-nprobe aggregate
-    # (Catalyst does not CSE across join sides). Measured at parity at
-    # test SF; at real corpus scale it halves the assignment work.
-    m = m.localCheckpoint(eager=True)
     m = cap_buckets(m, max_bucket, keys=("cell",))
-    l = m.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va"), "cell")
-    r = m.select(F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb"), "cell")
-    return (
-        l.join(r, "cell")
-        .filter(F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-        .distinct()
-    )
+    return _pair_scores_grouped(m, ("cell",), threshold, id_col, vec_col).distinct()
 
 
 def embedding_near_dups(
@@ -665,17 +821,7 @@ def embedding_near_dups(
     anchors = df.orderBy(id_col).limit(n_anchors)
     b = signbit_bucket(df, anchors, id_col, vec_col)
     b = cap_buckets(b, max_bucket, keys=("bucket",))
-    l = b.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va"), "bucket")
-    r = b.select(F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb"), "bucket")
-    return (
-        l.join(r, "bucket")
-        .filter(F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            F.round(
-                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
-            ).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-    )
+    # r6: per-bucket applyInPandas scoring kernel (fold-exact sims), same
+    # rewrite as ivf_near_dups; each pair lives in exactly one bucket so
+    # no distinct is needed (unchanged from the join form)
+    return _pair_scores_grouped(b, ("bucket",), threshold, id_col, vec_col)

@@ -768,10 +768,25 @@ def bpe_tokenize(col, merges: list[tuple[str, str]] | None = None):
 
 
 # Above this many merges the native replace-chain (one Column expression
-# per merge) stops being the right plan: the expression tree grows
-# linearly, codegen methods split, and analysis time dominates. The
-# pandas path's per-batch cost is flat in table size (dict lookups).
+# per merge) is not even EXPRESSIBLE sensibly: the expression tree grows
+# linearly, codegen methods split, and analysis time dominates. Below it
+# the chain works but still loses: each replace() pass re-scans every
+# word string per merge, where the classic encoder pays one dict-cached
+# encode per DISTINCT word (Zipf: hot words dominate). Measured at sf1.0
+# (50k docs, the 49-merge toy table): native 8.0 s vs pandas 1.4 s — so
+# r6 routes engine='auto' to pandas at EVERY table size; the limit now
+# only guards explicit engine='native' requests in with_bpe_token_count
+# callers that want the SQL-shaped reference plan.
 NATIVE_MERGE_LIMIT = 128
+
+# Per-merge-table word→token-count memos for the pandas BPE engine
+# (ADVICE r5: the cache used to be rebuilt per Arrow batch, so the
+# documented Zipf amortization never actually happened). Keyed by a
+# deterministic digest of the merge table so two tables never share
+# counts; resolved through the worker's module import so reused workers
+# keep it across batches AND tasks. The cap bounds worst-case memory.
+_BPE_COUNT_MEMOS: dict[str, dict[str, int]] = {}
+_BPE_MEMO_MAX = 1 << 20
 
 
 def with_bpe_token_count(
@@ -797,15 +812,20 @@ def with_bpe_token_count(
       would blow up analysis/codegen.
     - ``pandas`` — Arrow-batched classic min-rank-first encoder
       (`bpe_encode`) with the merge-rank dict shipped once per executor in
-      the UDF closure (the broadcast shape) and a per-executor word cache
+      the UDF closure (the broadcast shape) and a per-WORKER word cache
       (Zipf: the hot words dominate, so amortized cost per token is a dict
-      hit). Engine-specific, so not hash-comparable to a SQL oracle —
-      gated instead by the native≡pandas property test.
+      hit — r6 hoisted the cache out of the batch loop per ADVICE r5).
+      Values are identical to native (property-tested on valid cascades),
+      so it passes the same hash-compared oracle.
 
-    ``engine='auto'`` picks native up to NATIVE_MERGE_LIMIT merges."""
+    ``engine='auto'`` picks pandas (r6: measured 8.0 s native vs 1.4 s
+    pandas at sf1.0 even on the 49-merge toy table — each native
+    replace() pass re-scans the word, the encoder is cached per distinct
+    word); ``native`` remains the SQL-shaped reference plan and raises
+    past NATIVE_MERGE_LIMIT-style trees only by its own cost."""
     m = TOY_BPE_MERGES if merges is None else merges
     if engine == "auto":
-        engine = "native" if len(m) <= NATIVE_MERGE_LIMIT else "pandas"
+        engine = "pandas"
     if engine == "native":
         # _bt named column: the pre-tokenize regex runs ONCE per row even
         # with two consumers (see the Catalyst-CSE NOTE atop this file)
@@ -832,6 +852,9 @@ def with_bpe_token_count(
     from pyspark.sql.functions import pandas_udf
 
     ranks = {tuple(p): i for i, p in enumerate(m)}
+    import hashlib as _hl
+
+    table_key = _hl.md5(repr(m).encode()).hexdigest()
 
     @pandas_udf("struct<n_pretokens:bigint,n_tokens_bpe:bigint>")
     def _counts(s):
@@ -839,9 +862,13 @@ def with_bpe_token_count(
 
         import pandas as pd
 
+        from logspark.operators import textops as _m  # per-worker shared memo
+
         tok_re = re.compile(BPE_TOKEN_RE)
         alpha = re.compile(r"[A-Za-z]+\Z")
-        cache: dict[str, int] = {}
+        cache = _m._BPE_COUNT_MEMOS.setdefault(table_key, {})
+        if len(cache) > _BPE_MEMO_MAX:
+            cache.clear()
         npre, nbpe = [], []
         for text in s:
             toks = tok_re.findall(text or "")
@@ -996,11 +1023,16 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Token hashing stays native (JVM md5 + conv — codegen'd, the expensive
     part); the 60-bit majority fold runs as ONE Arrow-batched numpy kernel.
-    A fully-native version (60 nested aggregate() folds) was 10x slower at
-    sf0.1 (19.3 s → 1.9 s): Catalyst evaluates tokens x 60 interpreted
-    lambda steps, numpy does one (T, 60) matrix pass. Values are identical
-    and reproducible in DuckDB SQL for the oracle. Near-dup candidates then
-    band on bit ranges (see dedup.simhash_bands)."""
+    Two rejected alternatives, both measured: a fully-native version (60
+    nested aggregate() folds) was 10x slower at sf0.1 (19.3 s → 1.9 s —
+    Catalyst evaluates tokens x 60 interpreted lambda steps, numpy does
+    one (T, 60) matrix pass), and an r6 all-Python kernel (memoized
+    hashlib md5 per token + the same fold) measured 3.7 → 4.7 s at sf1.0
+    — per-token Python loop overhead exceeds the JVM md5 chain here, the
+    opposite of the minhash/winnow kernels where shingle CONSTRUCTION
+    dominates. Values are identical and reproducible in DuckDB SQL for
+    the oracle. Near-dup candidates then band on bit ranges (see
+    dedup.simhash_bands)."""
     from pyspark.sql.pandas.functions import PandasUDFType
 
     toks = tokens(F.col(text_col))

@@ -499,6 +499,12 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = f.filter(F.col("quality_ok") & (F.col("lang_guess") == "en")).select(
         "doc_id", "text"
     )
+    # materialize the gated corpus once (r6): it feeds the signature pass,
+    # the verify stage's semi-join scans, and the final keep-list
+    # anti-join — each consumer otherwise re-runs the tokenize-split
+    # quality/lang expressions over the whole corpus. A real pipeline
+    # materializes between stages anyway (the NOTE in textops.py).
+    filtered = filtered.localCheckpoint(eager=True)
     sigs = dedup.minhash_signatures(filtered, n_hashes=16)
     cand = dedup.lsh_candidates(sigs, n_hashes=16, bands=4, max_bucket=20)
     pairs = dedup.ngram_jaccard(filtered, threshold=0.5, candidates=cand)

@@ -160,13 +160,15 @@ def test_pushdown_and_pruning_reach_scan(spark, tmp_path):
     assert "unused" not in read_schema, read_schema
 
 
-def test_ivf_assignment_is_broadcast_join_not_literal_chain(spark):
-    """Scale-true IVF (VERDICT r2 #2): cell assignment must be ONE
-    broadcast join against a centroid DataFrame — not the r2 literal
-    when-chain whose expression tree grew O(n_centroids x dim). Asserted
-    at n_anchors=64: the plan holds exactly one broadcast join, no CASE
-    chain over centroids, and a size that cannot be hiding inlined
-    centroid literals."""
+def test_ivf_assignment_is_narrow_kernel_not_literal_chain(spark):
+    """Scale-true IVF: cell assignment is ONE narrow Arrow kernel with
+    the centroid matrix in its closure (the broadcast shape) — not the r2
+    literal when-chain whose expression tree grew O(n_centroids x dim),
+    and (r6) not the r5 broadcast-join + groupBy form whose interpreted
+    per-(row, centroid) fold plus corpus-wide exchange dominated the
+    embedding bench. Asserted at n_anchors=64: one MapInPandas node, ZERO
+    exchanges, no CASE chain, and a plan size that cannot be hiding
+    inlined centroid literals."""
     import numpy as np
 
     from logspark.operators import similarity
@@ -178,7 +180,8 @@ def test_ivf_assignment_is_broadcast_join_not_literal_chain(spark):
     cents = similarity.head_centroids(emb, 64)
     assigned = similarity.ivf_assign(emb, cents)
     plan = _plan(assigned)
-    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Exchange" not in plan, f"assignment must not shuffle:\n{plan}"
     assert "CASE WHEN" not in plan, "literal when-chain resurfaced"
     # 64 centroids x 16 dims inlined as literals would dwarf this bound
     assert len(plan) < 20_000, f"plan unexpectedly large: {len(plan)} chars"
@@ -193,12 +196,12 @@ def test_ivf_assignment_is_broadcast_join_not_literal_chain(spark):
 
 
 def test_ivf_multi_probe_plan_shape(spark):
-    """ivf_assign_multi / ivf_near_dups plan invariants (r4): centroids
-    join in as ONE broadcast per assignment (corpus never shuffles for
-    scoring), the top-nprobe collapse is a partial+final aggregate (map-
-    side combine collapses the k candidate rows before the exchange), no
-    literal when-chain, and the cell self-join is an equi-join on cell —
-    never an unbroadcast cartesian."""
+    """ivf_assign_multi / ivf_near_dups plan invariants (r6): assignment
+    is one narrow MapInPandas kernel (centroid matrix in the closure —
+    the broadcast shape; corpus never shuffles for scoring, no exchange
+    at all), no literal when-chain; the near-dup pipeline is assignment →
+    one exchange on cell → per-cell FlatMapGroupsInPandas scoring — never
+    a cartesian, and no join at all anymore."""
     import numpy as np
 
     from logspark.operators import similarity
@@ -210,18 +213,16 @@ def test_ivf_multi_probe_plan_shape(spark):
 
     m = similarity.ivf_assign_multi(emb, cents, nprobe=2)
     plan = _plan(m)
-    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Exchange" not in plan, f"assignment must not shuffle:\n{plan}"
     assert "CASE WHEN" not in plan
-    assert "partial_" in plan or "HashAggregate" in plan, plan  # map-side combine
-    assert "CartesianProduct" not in plan
 
     nd = similarity.ivf_near_dups(emb, threshold=0.2, n_cells=64, nprobe=2)
     plan = _plan(nd)
     assert "CartesianProduct" not in plan, plan
-    # two assignment branches → two broadcast centroid joins; the cell
-    # self-join itself may be BHJ (AQE, small side) or SMJ — either is an
-    # equi-join on cell, which is what matters
-    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert plan.count("MapInPandas") == 1, plan  # ONE assignment pass
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan  # per-cell scoring
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_ivf_vectorized_kernel_matches_declarative(spark):
