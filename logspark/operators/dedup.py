@@ -138,19 +138,27 @@ def _make_minhash_kernel(coeffs: list[tuple[int, int]], k: int):
     (transform / aggregate) are interpreted, not codegen'd, and the md5 →
     substring → conv chain per shingle costs ~6 µs interpreted vs ~1 µs
     here (BENCH/NOTES.md fix 7)."""
+    _task_memo: dict[str, int] = {}  # fallback when logspark isn't importable
 
     def kernel(s):
         import hashlib
         import numpy as np
         import pandas as pd
 
-        # resolve the memo through the worker's own module import: the
-        # nested kernel is pickled by value, so a plain global reference
-        # would ship a per-task copy instead of the shared per-worker dict
-        from logspark.operators import dedup as _m
+        # resolve the memo through the worker's own module import when the
+        # package is importable there (ensure_workers shipped the zip, or
+        # the worker inherited the repo cwd): the nested kernel is pickled
+        # by value, so a plain global reference would ship a per-task
+        # copy. Fall back to the closure dict — per-task, still amortized
+        # across every Arrow batch of the task — so the kernel never
+        # DEPENDS on worker-side importability (r6 review).
+        try:
+            from logspark.operators import dedup as _m
 
+            memo = _m._MINHASH_MEMO
+        except ImportError:
+            memo = _task_memo
         n = len(s)
-        memo = _m._MINHASH_MEMO
         if len(memo) > _MEMO_MAX:
             memo.clear()
 
@@ -212,7 +220,15 @@ def minhash_signatures(
 
     coeffs = _minhash_coeffs(n_hashes)
     schema = ", ".join(f"mh_{i} bigint" for i in range(n_hashes))
-    udf = F.pandas_udf(_make_minhash_kernel(coeffs, k), schema, PandasUDFType.SCALAR)
+    # asNondeterministic (r6, guide §4.4): the < k-token filter below
+    # references the UDF column, and the optimizer's filter pushdown
+    # otherwise DUPLICATES the kernel — the r5 plan carried two
+    # ArrowEvalPython nodes (every doc shingled+hashed twice, and every
+    # consumer of sigs inherited both). The kernel is pure; the marker
+    # only forbids Catalyst from re-evaluating/reordering it.
+    udf = F.pandas_udf(
+        _make_minhash_kernel(coeffs, k), schema, PandasUDFType.SCALAR
+    ).asNondeterministic()
     out = df.select(F.col(id_col), udf(F.col(text_col)).alias("_mh")).filter(
         F.col("_mh").getField("mh_0").isNotNull()
     )
@@ -379,6 +395,7 @@ def _make_winnow_kernel(k: int, w: int):
     memoized md5 k-gram hashes (grams repeat across docs), sliding-window
     minima via one strided numpy view per doc, np.unique for the per-doc
     dedup. No per-row Python beyond the gram join."""
+    _task_memo: dict[str, int] = {}  # fallback when logspark isn't importable
 
     def kernel(s):
         import hashlib
@@ -386,9 +403,12 @@ def _make_winnow_kernel(k: int, w: int):
         import numpy as np
         import pandas as pd
 
-        from logspark.operators import dedup as _m  # per-worker shared memo
+        try:  # per-worker shared memo; closure fallback (see minhash kernel)
+            from logspark.operators import dedup as _m
 
-        memo = _m._WINNOW_MEMO
+            memo = _m._WINNOW_MEMO
+        except ImportError:
+            memo = _task_memo
         if len(memo) > _MEMO_MAX:
             memo.clear()
 

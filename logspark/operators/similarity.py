@@ -42,31 +42,15 @@ def _norm(a):
 #
 # per matrix element — an exact left fold, NOT a BLAS matmul (pairwise
 # summation would differ in the last ulp and could flip an exact-tie under
-# the hash gate). An unrolled Column chain was tried first and was 2.4x
-# SLOWER than the fold (the ~400-node arithmetic tree defeats codegen/JIT);
-# the guide's §4.2 batch-kernel shape is the right one.
+# the hash gate). Norms fold the same way: sqrt(((0+v0*v0)+v1*v1)+...).
+# An unrolled Column chain was tried first and was 2.4x SLOWER than the
+# fold (the ~400-node arithmetic tree defeats codegen/JIT); the guide's
+# §4.2 batch-kernel shape is the right one. The accumulation loops are
+# INLINED in each kernel (not shared module helpers): a module-function
+# reference inside a pickled-by-value kernel is serialized by reference
+# and would make every worker require the logspark zip; the pinning test
+# is test_training_ops.py::test_pair_kernel_fold_exactness.
 # ---------------------------------------------------------------------------
-
-
-def _exact_sim_matrix(V, C, nv, nc):
-    """Cosine matrix (len(V) x len(C)) with fold-exact accumulation:
-    S[a, b] = fold_i(V[a,i]*C[b,i]) / (nv[a] * nc[b])."""
-    import numpy as np
-
-    S = np.zeros((V.shape[0], C.shape[0]))
-    for i in range(V.shape[1]):
-        S += V[:, i][:, None] * C[:, i][None, :]
-    return S / (nv[:, None] * nc[None, :])
-
-
-def _exact_norms(V):
-    """sqrt(fold_i(v_i * v_i)) per row — bit-identical to _norm."""
-    import numpy as np
-
-    n = np.zeros(V.shape[0])
-    for i in range(V.shape[1]):
-        n += V[:, i] * V[:, i]
-    return np.sqrt(n)
 
 
 def _pair_scores_grouped(
@@ -89,7 +73,7 @@ def _pair_scores_grouped(
     commutes), exactly like the old new-side x all-side join, and the
     caller's distinct() collapses them.
 
-    Exactness: sims via _exact_sim_matrix (fold-exact); the threshold is
+    Exactness: sims via the inlined fold-exact accumulation; the threshold is
     applied to the HALF_UP 6dp rounding F.round performs, via the proven
     two-stage cut (np.round prefilter with 1e-6 slack, exact re-round of
     survivors — see cosine_topk_batch). Rows with NULL vectors drop (their
@@ -101,10 +85,21 @@ def _pair_scores_grouped(
     id_t = df.schema[id_col].dataType.simpleString()
 
     def score(pdf):
+        # self-contained on purpose: a module-function reference would be
+        # pickled by-reference and break workers without the logspark zip
+        # (ensure_workers); the runtime import below has an inline fallback
         import numpy as np
         import pandas as pd
 
-        from logspark.functions.rounding import round_half_up6
+        try:
+            from logspark.functions.rounding import round_half_up6
+        except ImportError:
+            from decimal import ROUND_HALF_UP, Decimal
+
+            _q6 = Decimal("0.000001")
+
+            def round_half_up6(x):  # same algorithm as functions/rounding.py
+                return float(Decimal(repr(float(x))).quantize(_q6, rounding=ROUND_HALF_UP))
 
         empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
                               "b": pd.Series([], dtype="int64"),
@@ -116,7 +111,10 @@ def _pair_scores_grouped(
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        nr = _exact_norms(V)
+        nr = np.zeros(m)  # fold-exact norms: sqrt(((0+v0*v0)+v1*v1)+...)
+        for i in range(V.shape[1]):
+            nr += V[:, i] * V[:, i]
+        nr = np.sqrt(nr)
         rows = (
             np.nonzero(pdf[flag_col].to_numpy())[0]
             if flag_col is not None
@@ -130,7 +128,11 @@ def _pair_scores_grouped(
         with np.errstate(invalid="ignore", divide="ignore"):
             for s in range(0, len(rows), blk):
                 r_idx = rows[s : s + blk]
-                S = _exact_sim_matrix(V[r_idx], V, nr[r_idx], nr)
+                # fold-exact cosine block (see the module header note)
+                S = np.zeros((len(r_idx), m))
+                for i in range(V.shape[1]):
+                    S += V[r_idx, i][:, None] * V[:, i][None, :]
+                S /= nr[r_idx][:, None] * nr[None, :]
                 if flag_col is None:
                     mask = col_idx[None, :] > r_idx[:, None]  # a < b, once
                 else:
@@ -368,7 +370,7 @@ def _assign_cells(
     driver-collected once (tiny — the ivf_assign_vectorized broadcast
     shape) and ships in a mapInPandas closure; each Arrow batch scores
     every (vector, centroid) cosine with the fold-exact accumulation
-    (_exact_sim_matrix — bit-identical to the JVM/DuckDB left fold,
+    (inlined fold-exact accumulation — bit-identical to the JVM/DuckDB left fold,
     unlike BLAS) and picks cells by repeated first-argmax, which equals
     the declarative `max_by(cell, struct(sim, -cell))` / descending
     (s, -cell) struct sort tie-break: highest sim, ties → LOWEST cell
@@ -398,10 +400,18 @@ def _assign_cells(
     npro = min(nprobe, len(rows))
 
     def gen(batches):
+        # self-contained (no module-function refs): works without the
+        # logspark zip on workers — see the note in _pair_scores_grouped
         import numpy as np
         import pandas as pd
 
-        nc = _exact_norms(C)
+        def fold_norms(M):  # fold-exact: sqrt(((0+m0*m0)+m1*m1)+...)
+            n = np.zeros(M.shape[0])
+            for i in range(M.shape[1]):
+                n += M[:, i] * M[:, i]
+            return np.sqrt(n)
+
+        nc = fold_norms(C)
         for pdf in batches:
             pdf = pdf[pdf[vec_col].notna()]
             n = len(pdf)
@@ -409,7 +419,11 @@ def _assign_cells(
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             with np.errstate(invalid="ignore", divide="ignore"):
-                S = _exact_sim_matrix(V, C, _exact_norms(V), nc)
+                # fold-exact cosine matrix (see the module header note)
+                S = np.zeros((n, len(C)))
+                for i in range(V.shape[1]):
+                    S += V[:, i][:, None] * C[:, i][None, :]
+                S /= fold_norms(V)[:, None] * nc[None, :]
             picks = np.empty((n, npro), dtype=np.int64)
             ridx = np.arange(n)
             for j in range(npro):

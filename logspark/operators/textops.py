@@ -816,7 +816,10 @@ def with_bpe_token_count(
       (Zipf: the hot words dominate, so amortized cost per token is a dict
       hit — r6 hoisted the cache out of the batch loop per ADVICE r5).
       Values are identical to native (property-tested on valid cascades),
-      so it passes the same hash-compared oracle.
+      so it passes the same hash-compared oracle. The kernel calls
+      `bpe_encode` by module reference: executors need the logspark
+      package on their Python path (`spark-submit --py-files`, or
+      queries.ensure_workers in the sandbox).
 
     ``engine='auto'`` picks pandas (r6: measured 8.0 s native vs 1.4 s
     pandas at sf1.0 even on the 49-merge toy table — each native
@@ -855,6 +858,7 @@ def with_bpe_token_count(
     import hashlib as _hl
 
     table_key = _hl.md5(repr(m).encode()).hexdigest()
+    _task_memo: dict[str, int] = {}  # fallback when logspark isn't importable
 
     @pandas_udf("struct<n_pretokens:bigint,n_tokens_bpe:bigint>")
     def _counts(s):
@@ -862,11 +866,14 @@ def with_bpe_token_count(
 
         import pandas as pd
 
-        from logspark.operators import textops as _m  # per-worker shared memo
+        try:  # per-worker shared memo; per-task closure fallback
+            from logspark.operators import textops as _m
 
+            cache = _m._BPE_COUNT_MEMOS.setdefault(table_key, {})
+        except ImportError:
+            cache = _task_memo
         tok_re = re.compile(BPE_TOKEN_RE)
         alpha = re.compile(r"[A-Za-z]+\Z")
-        cache = _m._BPE_COUNT_MEMOS.setdefault(table_key, {})
         if len(cache) > _BPE_MEMO_MAX:
             cache.clear()
         npre, nbpe = [], []

@@ -585,6 +585,51 @@ def test_embedding_near_dups_threshold(emb):
     assert out.filter(F.col("sim") < 0.9).count() == 0
 
 
+def test_pair_kernel_fold_exactness(spark):
+    """r6: the applyInPandas pair-scoring and mapInPandas assignment
+    kernels must reproduce the declarative fold BIT-exactly — every
+    (a, b, sim) of ivf_near_dups equals the r5 join form's
+    round(aggregate-fold cosine, 6) computed via _dot/_norm, including at
+    an exact 6dp half boundary where np.round (half-even) and F.round
+    (HALF_UP) diverge — the two-stage cut must pick HALF_UP."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(200)]
+    # plant an exact-threshold pair: identical vectors → sim 1.0, plus a
+    # scaled copy (cosine 1.0) and near-boundary values via the raw data
+    rows.append((200, rows[5][1]))
+    rows.append((201, [x * 2.0 for x in rows[5][1]]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    got = similarity.ivf_near_dups(emb, threshold=0.2, n_cells=8, nprobe=2)
+
+    # the r5 declarative join form, reconstructed expression-for-expression
+    from logspark.operators.dedup import cap_buckets  # noqa: F401 (parity of shape)
+    from logspark.operators.similarity import _dot, _norm, head_centroids, ivf_assign_multi
+
+    m = ivf_assign_multi(emb, head_centroids(emb, 8), 2).localCheckpoint(eager=True)
+    l = m.select(F.col("vec_id").alias("a"), F.col("embedding").cast("array<double>").alias("va"), "cell")
+    r = m.select(F.col("vec_id").alias("b"), F.col("embedding").cast("array<double>").alias("vb"), "cell")
+    ref = (
+        l.join(r, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6).alias("sim"))
+        .filter(F.col("sim") >= 0.2)
+        .distinct()
+    )
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, ref.collect()))
+    assert g == e  # exact equality, float bits included
+    assert any(a == 5 and b == 200 and s == 1.0 for a, b, s in g)
+
+    # HALF_UP at the 6dp half boundary: builtin/np round gives 0.123456,
+    # Spark F.round gives 0.123457 — the kernel must match Spark
+    from logspark.functions.rounding import round_half_up6
+
+    assert round_half_up6(0.1234565) == 0.123457
+
+
 def test_default_ann_recall_meets_floor(spark):
     """The recommended/default ANN config (IVF — what embedding_near_dups
     runs) must keep recall@10 ≥ ANN_RECALL_FLOOR on the test embeddings;
