@@ -892,8 +892,18 @@ class SignatureStore:
 
         if not run_id:
             raise ValueError("append requires a run_id")
-        if run_id in self.committed_runs():
+        idx0 = self._read_index()
+        if run_id in idx0["runs"]:
             raise ValueError(f"signature run {run_id!r} already committed")
+        # partition_by is a store-global layout key (ADVICE r5 low): mixing
+        # a partitioned append into a store with non-partitioned runs (or
+        # changing the columns) breaks load_runs_union's unionByName and
+        # makes compaction partition over rows lacking the column.
+        if idx0["runs"] and list(partition_by or []) != list(idx0.get("partition_by") or []):
+            raise ValueError(
+                f"partition_by {partition_by!r} does not match the store's "
+                f"existing layout {idx0.get('partition_by')!r}"
+            )
         path = os.path.join(self.root, "runs", run_id)
         w = sigs.write.mode("overwrite")
         if partition_by:

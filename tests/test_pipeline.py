@@ -695,3 +695,78 @@ def test_watch_dedup_loop(spark, tmp_path):
     )
     assert len(res) == 2
     assert res[0]["run_id"] is not None and res[1]["run_id"] is None
+
+
+def test_dedup_tick_legacy_crash_window_replays_not_wedges(spark, tmp_path):
+    """ADVICE r5 medium: a LEGACY-format run (no per-file provenance) that
+    crashed between the store commit and the manifest commit leaves its
+    files out of committed_files(); with an unchanged pending set the
+    tick's derived rid equals the committed run id, and re-appending
+    under it raised 'already committed' on every tick — a permanent
+    wedge. The rid-membership secondary signal must route the pending
+    set through replay instead."""
+    import hashlib
+
+    import pandas as pd
+
+    from logspark.operators import dedup
+    from logspark.plans import dedup_agent
+    from logspark.sources.tableio import ParquetIO
+
+    tbl = tmp_path / "in" / "docs.parquet"
+    tbl.mkdir(parents=True)
+    pd.DataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon")],
+        columns=["doc_id", "text"],
+    ).to_parquet(tbl / "f1.parquet")
+    io = ParquetIO(str(tmp_path / "in"))
+    sink = str(tmp_path / "agent")
+
+    # simulate the crashed legacy tick: store committed under the SAME rid
+    # the retry will derive (pending-set hash), without input_files; the
+    # manifest commit never happened
+    pending = io.input_files(spark, "docs")
+    rid = "d-" + hashlib.md5("\n".join(sorted(pending)).encode()).hexdigest()[:12]
+    docs = spark.read.parquet(*pending)
+    import os
+
+    store = dedup.SignatureStore(os.path.join(sink, "sigstore"))
+    store.append(dedup.minhash_signatures(docs), rid)  # no input_files
+
+    r = dedup_agent.dedup_tick(spark, io, "docs", sink, threshold=0.3)
+    assert r["run_id"] == rid
+    assert r["replayed_files"] == sorted(pending)  # routed through replay
+    assert r["n_pairs"] >= 1  # (1, 2) is a near-dup pair
+    assert store.committed_runs() == [rid]  # no duplicate append
+    # provenance incomplete → the orphan-signature audit ran (0 here:
+    # every store doc has corpus text)
+    assert r["n_orphan_sig_docs"] == 0
+
+    # and the loop does not wedge: next tick is a clean no-op
+    r2 = dedup_agent.dedup_tick(spark, io, "docs", sink, threshold=0.3)
+    assert r2["run_id"] is None
+
+
+def test_signature_store_partition_by_must_match_existing_layout(spark, tmp_path):
+    """ADVICE r5 low: partition_by is a store-global layout key — mixing a
+    partitioned append into a non-partitioned store (or changing the
+    columns) breaks load_runs_union and compaction; append must raise."""
+    import pytest as _pytest
+
+    from logspark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")], "doc_id bigint, text string"
+    )
+    sigs = dedup.minhash_signatures(docs).withColumn("cell", F.col("doc_id") % 2)
+
+    store = dedup.SignatureStore(str(tmp_path / "s1"))
+    store.append(sigs, "r1", input_files=["f1"])
+    with _pytest.raises(ValueError, match="partition_by"):
+        store.append(sigs, "r2", input_files=["f2"], partition_by=["cell"])
+
+    store2 = dedup.SignatureStore(str(tmp_path / "s2"))
+    store2.append(sigs, "r1", input_files=["f1"], partition_by=["cell"])
+    with _pytest.raises(ValueError, match="partition_by"):
+        store2.append(sigs, "r2", input_files=["f2"])  # None vs ["cell"]
+    store2.append(sigs, "r3", input_files=["f3"], partition_by=["cell"])  # same: ok
