@@ -367,7 +367,19 @@ def streaming_near_dup_candidates(
     job over the corpus table (semi-join pruned to candidate-touched
     docs), same as the batch path. State per bucket is O(bucket size),
     bounded by max_bucket (capped buckets stop emitting and drop their
-    id list — dedup.cap_buckets' defense, applied continuously)."""
+    id list — dedup.cap_buckets' defense, applied continuously).
+
+    State SIZING rule (measured, bench/stream_state_probe.py, bands=4,
+    default HDFS-backed store): state rows ≈ bands x n_docs (3.963/doc
+    at both 200k and 2M docs — band-key collisions are rare at this key
+    width), memory ≈ 1.1-1.9 KB/doc (226 MB at 200k, 3.70 GB at 2M;
+    per-doc bytes creep up as buckets accumulate members). Extrapolated:
+    ~10-20 GB of state per 10M docs. max_bucket bounds the per-bucket id
+    LIST, not the bucket count, so provision executors for
+    bands x n_docs x ~0.4 KB of on-heap state spread over
+    spark.sql.shuffle.partitions state partitions — or switch
+    spark.sql.streaming.stateStore.providerClass to the RocksDB provider
+    past ~5M docs per node so state lives off-heap/on-disk."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from logspark.operators.dedup import band_signatures, minhash_signatures
